@@ -1,0 +1,164 @@
+"""Random blob-domain triangular mesh generation (no gmsh).
+
+The reference (``dirichlet/dataset/build_mesh.py:20-130``) places
+``nb_bound_points`` boundary points at randomly perturbed radius
+``t ∈ [0.75, 1]·R`` on a circle, fits a spline through them, and lets gmsh
+triangulate at mesh size ``hsize``.  This module reproduces the same domain
+family with scipy only:
+
+1. perturb points on the circle exactly as the reference does,
+2. fit a periodic cubic spline through them,
+3. sample the boundary curve at ~``hsize`` arc-length spacing,
+4. fill the interior with a jittered hexagonal lattice at ``hsize`` pitch,
+   dropping points too close to the boundary,
+5. Delaunay-triangulate and keep triangles whose centroid lies inside.
+
+The result is a quality unstructured mesh of the same statistical family
+(node counts at R=1, hsize=0.08 ≈ the reference's ≈490-node meshes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+from matplotlib.path import Path as MplPath
+from scipy.interpolate import CubicSpline
+from scipy.spatial import Delaunay
+
+
+@dataclasses.dataclass
+class Mesh:
+    points: np.ndarray        # (N, 2) float64 vertex coordinates
+    triangles: np.ndarray     # (T, 3) int32 vertex indices
+    boundary_mask: np.ndarray  # (N,) bool, True for boundary vertices
+    # segment tag per boundary vertex (Dirichlet=101 by default; mixed-BC
+    # meshes use 101/202 for Dirichlet/Neumann, build_mesh.py:84-88)
+    boundary_tag: np.ndarray   # (N,) int32, 0 for interior
+
+    @property
+    def n_points(self) -> int:
+        return int(self.points.shape[0])
+
+
+def _boundary_spline(radius: float, nb_bound_points: int, rng: np.random.Generator):
+    """Periodic cubic spline through perturbed circle points
+    (build_mesh.py:57-69: t = 0.25*rand + 0.75 scaling both coords)."""
+    alpha = np.linspace(0.0, 2.0 * np.pi, nb_bound_points)
+    xs, ys = [], []
+    for i in range(nb_bound_points - 1):
+        t = (1.0 - 0.75) * rng.random() + 0.75
+        xs.append(t * radius * np.cos(alpha[i]))
+        ys.append(t * radius * np.sin(alpha[i]))
+    xs.append(xs[0])
+    ys.append(ys[0])
+    pts = np.stack([xs, ys], axis=1)
+    s = np.arange(len(pts), dtype=np.float64)
+    return CubicSpline(s, pts, bc_type="periodic")
+
+
+def _sample_boundary(spline, n_ctrl: int, hsize: float) -> np.ndarray:
+    """Sample the closed curve at ≈hsize arc-length spacing."""
+    dense_t = np.linspace(0.0, n_ctrl - 1, 4096, endpoint=False)
+    dense = spline(dense_t)
+    seg = np.linalg.norm(np.diff(dense, axis=0, append=dense[:1]), axis=1)
+    arclen = np.concatenate([[0.0], np.cumsum(seg)])[:-1]
+    total = arclen[-1] + seg[-1]
+    n_bnd = max(8, int(round(total / hsize)))
+    targets = np.linspace(0.0, total, n_bnd, endpoint=False)
+    idx = np.searchsorted(arclen, targets)
+    idx = np.clip(idx, 0, len(dense) - 1)
+    return dense[idx]
+
+
+def _interior_points(boundary: np.ndarray, hsize: float,
+                     rng: np.random.Generator) -> np.ndarray:
+    """Jittered hex lattice clipped to the polygon, away from the boundary."""
+    path = MplPath(boundary)
+    lo = boundary.min(axis=0) - hsize
+    hi = boundary.max(axis=0) + hsize
+    dx = hsize
+    dy = hsize * np.sqrt(3.0) / 2.0
+    ys = np.arange(lo[1], hi[1], dy)
+    pts = []
+    for row, y in enumerate(ys):
+        xs = np.arange(lo[0] + (0.5 * dx if row % 2 else 0.0), hi[0], dx)
+        for x in xs:
+            pts.append((x, y))
+    pts = np.asarray(pts)
+    if len(pts) == 0:
+        return np.zeros((0, 2))
+    pts = pts + rng.uniform(-0.12, 0.12, pts.shape) * hsize
+    inside = path.contains_points(pts)
+    pts = pts[inside]
+    # drop points within 0.6*hsize of the boundary polyline (node spacing)
+    if len(pts):
+        d2 = np.min(
+            np.sum((pts[:, None, :] - boundary[None, :, :]) ** 2, axis=-1), axis=1)
+        pts = pts[d2 > (0.6 * hsize) ** 2]
+    return pts
+
+
+def blob_mesh(radius: float = 1.0, hsize: float = 0.08,
+              nb_bound_points: int = 10, seed: Optional[int] = None,
+              rng: Optional[np.random.Generator] = None,
+              tag_dirichlet: int = 101) -> Mesh:
+    """Generate one random blob mesh (reference defaults: R=1, hsize=0.08,
+    10 boundary points, generate_data.py:37-47)."""
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    spline = _boundary_spline(radius, nb_bound_points, rng)
+    boundary = _sample_boundary(spline, nb_bound_points, hsize)
+    interior = _interior_points(boundary, hsize, rng)
+    points = np.concatenate([boundary, interior], axis=0)
+    tri = Delaunay(points)
+    cent = points[tri.simplices].mean(axis=1)
+    keep = MplPath(boundary).contains_points(cent)
+    triangles = tri.simplices[keep].astype(np.int32)
+
+    # Drop vertices that ended up unused (outside-sliver cleanup)
+    used = np.zeros(len(points), bool)
+    used[triangles.ravel()] = True
+    remap = -np.ones(len(points), np.int64)
+    remap[used] = np.arange(used.sum())
+    points = points[used]
+    triangles = remap[triangles].astype(np.int32)
+    n_bnd_used = int(used[: len(boundary)].sum())
+
+    bmask = np.zeros(len(points), bool)
+    bmask[remap[np.arange(len(boundary))[used[: len(boundary)]]]] = True
+    btag = np.where(bmask, tag_dirichlet, 0).astype(np.int32)
+    del n_bnd_used
+    return Mesh(points=points, triangles=triangles,
+                boundary_mask=bmask, boundary_tag=btag)
+
+
+def circle_mesh(radius: float = 1.0, hsize: float = 0.08,
+                seed: Optional[int] = None) -> Mesh:
+    """Plain circle domain (used by the growing-geometry benchmark,
+    tests/special_geo — circle generator)."""
+    rng = np.random.default_rng(seed)
+    n_bnd = max(8, int(round(2 * np.pi * radius / hsize)))
+    theta = np.linspace(0, 2 * np.pi, n_bnd, endpoint=False)
+    boundary = radius * np.stack([np.cos(theta), np.sin(theta)], axis=1)
+    interior = _interior_points(boundary, hsize, rng)
+    points = np.concatenate([boundary, interior], axis=0)
+    tri = Delaunay(points)
+    cent = points[tri.simplices].mean(axis=1)
+    keep = np.linalg.norm(cent, axis=1) < radius * (1 - 1e-9) + 0.0
+    # centroid-in-circle test with tolerance for boundary-chord triangles
+    keep = np.linalg.norm(cent, axis=1) <= radius
+    triangles = tri.simplices[keep].astype(np.int32)
+    used = np.zeros(len(points), bool)
+    used[triangles.ravel()] = True
+    remap = -np.ones(len(points), np.int64)
+    remap[used] = np.arange(used.sum())
+    points = points[used]
+    triangles = remap[triangles].astype(np.int32)
+    bmask = np.zeros(len(points), bool)
+    orig_b = np.arange(n_bnd)[used[:n_bnd]]
+    bmask[remap[orig_b]] = True
+    btag = np.where(bmask, 101, 0).astype(np.int32)
+    return Mesh(points=points, triangles=triangles,
+                boundary_mask=bmask, boundary_tag=btag)

@@ -1,0 +1,398 @@
+"""Fixed-point solver suite: picard, anderson, broyden, newton.
+
+Re-designs the reference solver module
+(``dirichlet/psignn/utilities/solver.py``, 366 LoC) as pure JAX functions
+with one shared signature::
+
+    solver(f, x0, threshold, eps, stop_mode='rel', keep_trace=False)
+      -> SolverResult
+
+compilable under ``jit``: every solver is a ``lax.while_loop`` with
+fixed-shape carries (Broyden's growing low-rank memory becomes fixed
+``(threshold, N·D)`` buffers whose unwritten rows are zero, so no dynamic
+slicing is needed — zero rows are exact no-ops in the rank-update matvecs).
+
+Semantics preserved from the reference:
+* ``broyden`` (solver.py:116-207): rank-1 inverse-Jacobian updates, rel/abs
+  stop modes, best-iterate tracking, plateau break (max/min of the last-30
+  trace < 1.3 once under 3·eps, solver.py:179-180), divergence protection
+  (objective > first·1e3·D, solver.py:181-183), NaN scrubbing of update
+  vectors (solver.py:188-189).
+* ``anderson`` (solver.py:215-293): window m=2, Tikhonov-regularized
+  least squares per step, mixing beta, best-iterate tracking.
+* ``picard`` / forward iteration (solver.py:301-341): plain z ← f(z) until
+  the *relative* step norm < eps; returns the last iterate.
+* ``newton`` (solver.py:349-366): dense-Jacobian Newton wrapped as picard
+  on z ← z − J⁻¹ g(z); demo-scale only.
+
+All norms are over the full flattened state; padded rows must be kept at
+exactly zero by the caller (see ``graphs.PaddedGraph`` docs) so they do not
+perturb the norms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class SolverResult(NamedTuple):
+    result: jax.Array        # (N, D) best (broyden/anderson) or last (picard)
+    lowest: jax.Array        # scalar: best stop-mode residual
+    nstep: jax.Array         # int32: step index of the best iterate
+    prot_break: jax.Array    # bool
+    abs_trace: jax.Array     # (threshold,) residual trace (abs mode)
+    rel_trace: jax.Array     # (threshold,) residual trace (rel mode)
+    trace: Optional[jax.Array]      # (threshold+1, N, D) iterates, or None
+    trace_len: jax.Array     # int32: number of valid iterates in `trace`
+
+
+def _vdot(a, b):
+    return jnp.vdot(a, b, precision=_HI)
+
+
+def _norm(a):
+    return jnp.sqrt(_vdot(a, a))
+
+
+def _safe_norm(v):
+    """inf if any entry is non-finite (solver.py:14-18)."""
+    n = _norm(v)
+    return jnp.where(jnp.all(jnp.isfinite(v)), n, jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Picard / forward iteration
+# ---------------------------------------------------------------------------
+
+def picard(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-5,
+           stop_mode: str = "rel", keep_trace: bool = False) -> SolverResult:
+    """Plain fixed-point iteration (solver.py:301-341). Always stops on the
+    relative step norm as the reference does; ``stop_mode`` ignored."""
+    del stop_mode
+    shape = x0.shape
+    z0 = x0.reshape(-1)
+
+    z1 = f(x0).reshape(-1)
+    abs0 = _norm(z0 - z1)
+    rel0 = abs0 / _norm(z1)
+
+    T = threshold
+    abs_trace = jnp.zeros((T + 1,)).at[0].set(abs0)
+    rel_trace = jnp.zeros((T + 1,)).at[0].set(rel0)
+    trace = None
+    if keep_trace:
+        trace = jnp.zeros((T + 2,) + shape, x0.dtype)
+        trace = trace.at[0].set(x0).at[1].set(z1.reshape(shape))
+
+    def cond(c):
+        return (c["rel"] > eps) & (c["ite"] < T)
+
+    def body(c):
+        z_prev = c["z"]
+        z = f(z_prev.reshape(shape)).reshape(-1)
+        ite = c["ite"] + 1
+        ab = _norm(z_prev - z)
+        rel = ab / _norm(z)
+        c2 = dict(c, z=z, ite=ite, rel=rel,
+                  abs_trace=c["abs_trace"].at[ite].set(ab),
+                  rel_trace=c["rel_trace"].at[ite].set(rel))
+        if keep_trace:
+            c2["trace"] = c["trace"].at[ite + 1].set(z.reshape(shape))
+        return c2
+
+    carry = dict(z=z1, ite=jnp.int32(0), rel=rel0,
+                 abs_trace=abs_trace, rel_trace=rel_trace)
+    if keep_trace:
+        carry["trace"] = trace
+    out = jax.lax.while_loop(cond, body, carry)
+
+    return SolverResult(
+        result=out["z"].reshape(shape),
+        lowest=out["rel"],
+        nstep=out["ite"],
+        prot_break=jnp.bool_(False),
+        abs_trace=out["abs_trace"][:T],
+        rel_trace=out["rel_trace"][:T],
+        trace=out.get("trace"),
+        trace_len=out["ite"] + 2,
+    )
+
+
+forward_iteration = picard
+
+
+# ---------------------------------------------------------------------------
+# Anderson acceleration
+# ---------------------------------------------------------------------------
+
+def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
+             stop_mode: str = "rel", m: int = 2, lam: float = 1e-4,
+             beta: float = 1.0, keep_trace: bool = False) -> SolverResult:
+    """Anderson acceleration with window m (solver.py:215-293)."""
+    shape = x0.shape
+    d = x0.size
+    T = threshold
+    big = 1e8
+
+    x0f = x0.reshape(-1)
+    X = jnp.zeros((m, d), x0.dtype)
+    F = jnp.zeros((m, d), x0.dtype)
+    X = X.at[0].set(x0f)
+    F = F.at[0].set(f(x0).reshape(-1))
+    X = X.at[1 % m].set(F[0])
+    F = F.at[1 % m].set(f(F[0].reshape(shape)).reshape(-1))
+
+    trace = None
+    if keep_trace:
+        trace = jnp.zeros((T + 1,) + shape, x0.dtype).at[0].set(x0)
+
+    def cond(c):
+        return (c["k"] < T) & jnp.logical_not(c["done"])
+
+    def body(c):
+        k = c["k"]
+        n_valid = jnp.minimum(k, m)
+        slot = jnp.arange(m)
+        valid = slot < n_valid
+        G = (c["F"] - c["X"]) * valid[:, None].astype(x0.dtype)
+        GGT = jnp.matmul(G, G.T, precision=_HI)
+        H = jnp.zeros((m + 1, m + 1), x0.dtype)
+        H = H.at[1:, 1:].set(GGT + lam * jnp.eye(m, dtype=x0.dtype))
+        H = H.at[0, 1:].set(valid.astype(x0.dtype))
+        H = H.at[1:, 0].set(valid.astype(x0.dtype))
+        # invalid slots → identity rows/cols so alpha_j = 0 there
+        inv = jnp.logical_not(valid)
+        H = H.at[1:, 1:].set(
+            jnp.where((inv[:, None] | inv[None, :]),
+                      jnp.eye(m, dtype=x0.dtype), H[1:, 1:]))
+        y = jnp.zeros((m + 1,), x0.dtype).at[0].set(1.0)
+        alpha = jnp.linalg.solve(H, y)[1:]
+        xk = beta * alpha @ c["F"] + (1 - beta) * alpha @ c["X"]
+        fk = f(xk.reshape(shape)).reshape(-1)
+        slot_k = jnp.mod(k, m)
+        X = c["X"].at[slot_k].set(xk)
+        F = c["F"].at[slot_k].set(fk)
+
+        gx = fk - xk
+        ab = _norm(gx)
+        rel = ab / (1e-5 + _norm(fk))
+        diff = rel if stop_mode == "rel" else ab
+        better = diff < c["lowest"]
+        lowest = jnp.where(better, diff, c["lowest"])
+        lowest_alt = jnp.where(
+            (ab if stop_mode == "rel" else rel) < c["lowest_alt"],
+            (ab if stop_mode == "rel" else rel), c["lowest_alt"])
+        lowest_x = jnp.where(better, xk, c["lowest_x"])
+        lowest_step = jnp.where(better, k, c["lowest_step"])
+        c2 = dict(c, X=X, F=F, k=k + 1,
+                  lowest=lowest, lowest_alt=lowest_alt, lowest_x=lowest_x,
+                  lowest_step=lowest_step,
+                  abs_trace=c["abs_trace"].at[k - 2].set(ab),
+                  rel_trace=c["rel_trace"].at[k - 2].set(rel),
+                  done=diff < eps)
+        if keep_trace:
+            # the reference appends the running best each step (solver.py:273)
+            c2["trace"] = c["trace"].at[k - 1].set(lowest_x.reshape(shape))
+        return c2
+
+    carry = dict(X=X, F=F, k=jnp.int32(2), done=jnp.bool_(False),
+                 lowest=jnp.array(big, x0.dtype),
+                 lowest_alt=jnp.array(big, x0.dtype),
+                 lowest_x=x0f, lowest_step=jnp.int32(0),
+                 abs_trace=jnp.zeros((T,)), rel_trace=jnp.zeros((T,)))
+    if keep_trace:
+        carry["trace"] = trace
+    out = jax.lax.while_loop(cond, body, carry)
+
+    return SolverResult(
+        result=out["lowest_x"].reshape(shape),
+        lowest=out["lowest"],
+        nstep=out["lowest_step"],
+        prot_break=jnp.bool_(False),
+        abs_trace=out["abs_trace"],
+        rel_trace=out["rel_trace"],
+        trace=out.get("trace"),
+        trace_len=out["k"] - 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broyden's method
+# ---------------------------------------------------------------------------
+
+def _rmatvec(Us, VTs, x):
+    """x^T (−I + U Vᵀ) with Us/VTs stored as (T, N·D) step-major rank-1
+    factors (solver.py:96-104); zero rows are no-ops."""
+    xTU = jnp.matmul(Us, x, precision=_HI)          # (T,)
+    return -x + jnp.matmul(xTU, VTs, precision=_HI)
+
+
+def _matvec(Us, VTs, x):
+    """(−I + U Vᵀ) x (solver.py:106-114)."""
+    VTx = jnp.matmul(VTs, x, precision=_HI)         # (T,)
+    return -x + jnp.matmul(VTx, Us, precision=_HI)
+
+
+def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
+            stop_mode: str = "rel", keep_trace: bool = False) -> SolverResult:
+    """Broyden quasi-Newton root finder for g(x) = f(x) − x
+    (solver.py:116-207, default no line search as the reference calls it)."""
+    if stop_mode not in ("rel", "abs"):
+        raise ValueError(stop_mode)
+    shape = x0.shape
+    d = x0.size
+    T = threshold
+    big = 1e8
+    # seq_len in the reference's (1, N, D) view is D (solver.py:121,140)
+    seq_len = shape[-1] if x0.ndim > 1 else 1
+    protect_thres = (1e6 if stop_mode == "abs" else 1e3) * seq_len
+
+    xf = x0.reshape(-1)
+    g = lambda xflat: f(xflat.reshape(shape)).reshape(-1) - xflat
+    gx = g(xf)
+    Us = jnp.zeros((T, d), x0.dtype)
+    VTs = jnp.zeros((T, d), x0.dtype)
+    update = gx  # −matvec(empty) = +gx
+
+    trace = None
+    if keep_trace:
+        trace = jnp.zeros((T + 1,) + shape, x0.dtype).at[0].set(x0)
+
+    def cond(c):
+        return (c["nstep"] < T) & jnp.logical_not(c["stop"])
+
+    def body(c):
+        x_new = c["x"] + c["update"]
+        gx_new = g(x_new)
+        nstep = c["nstep"] + 1
+
+        ab = _norm(gx_new)
+        rel = ab / (_norm(gx_new + x_new) + 1e-9)
+        diff = rel if stop_mode == "rel" else ab
+        alt = ab if stop_mode == "rel" else rel
+
+        abs_trace = c["abs_trace"].at[nstep - 1].set(ab)
+        rel_trace = c["rel_trace"].at[nstep - 1].set(rel)
+        stop_trace = rel_trace if stop_mode == "rel" else abs_trace
+
+        better = diff < c["lowest"]
+        lowest = jnp.where(better, diff, c["lowest"])
+        lowest_x = jnp.where(better, x_new, c["lowest_x"])
+        lowest_gx = jnp.where(better, gx_new, c["lowest_gx"])
+        lowest_step = jnp.where(better, nstep, c["lowest_step"])
+        lowest_alt = jnp.where(alt < c["lowest_alt"], alt, c["lowest_alt"])
+        lowest_alt_step = jnp.where(alt < c["lowest_alt"], nstep,
+                                    c["lowest_alt_step"])
+
+        converged = diff < eps
+        # plateau break: last-30 window flat once under 3·eps (solver.py:179-180)
+        win_start = jnp.maximum(nstep - 30, 0)
+        idx = win_start + jnp.arange(30)
+        win = stop_trace[jnp.clip(idx, 0, T - 1)]
+        wmax = jnp.max(jnp.where(idx < nstep, win, -jnp.inf))
+        wmin = jnp.min(jnp.where(idx < nstep, win, jnp.inf))
+        plateau = (diff < 3 * eps) & (nstep > 30) & (wmax / wmin < 1.3)
+        first = stop_trace[0]
+        prot = diff > first * protect_thres
+
+        # Broyden rank-1 update (solver.py:185-192); rows ≥ nstep are zero so
+        # the full buffers equal the reference's :nstep-1 slices.
+        delta_x = x_new - c["x"]
+        delta_gx = gx_new - c["gx"]
+        vT = _rmatvec(c["Us"], c["VTs"], delta_x)
+        denom = _vdot(vT, delta_gx)
+        u = (delta_x - _matvec(c["Us"], c["VTs"], delta_gx)) / denom
+        vT = jnp.nan_to_num(vT, nan=0.0, posinf=0.0, neginf=0.0)
+        u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
+        Us = c["Us"].at[nstep - 1].set(u)
+        VTs = c["VTs"].at[nstep - 1].set(vT)
+        new_update = -_matvec(Us, VTs, gx_new)
+
+        c2 = dict(c, x=x_new, gx=gx_new, update=new_update, Us=Us, VTs=VTs,
+                  nstep=nstep, abs_trace=abs_trace, rel_trace=rel_trace,
+                  lowest=lowest, lowest_x=lowest_x, lowest_gx=lowest_gx,
+                  lowest_step=lowest_step, lowest_alt=lowest_alt,
+                  lowest_alt_step=lowest_alt_step,
+                  prot_break=c["prot_break"] | prot,
+                  stop=converged | plateau | prot)
+        if keep_trace:
+            c2["trace"] = c["trace"].at[nstep].set(x_new.reshape(shape))
+        return c2
+
+    carry = dict(x=xf, gx=gx, update=update, Us=Us, VTs=VTs,
+                 nstep=jnp.int32(0),
+                 abs_trace=jnp.zeros((T,)), rel_trace=jnp.zeros((T,)),
+                 lowest=jnp.array(big, x0.dtype), lowest_x=xf, lowest_gx=gx,
+                 lowest_step=jnp.int32(0),
+                 lowest_alt=jnp.array(big, x0.dtype),
+                 lowest_alt_step=jnp.int32(0),
+                 prot_break=jnp.bool_(False), stop=jnp.bool_(False))
+    if keep_trace:
+        carry["trace"] = trace
+    out = jax.lax.while_loop(cond, body, carry)
+
+    # pad unvisited trace entries with the lowest value (solver.py:195-197)
+    steps = jnp.arange(T)
+    visited = steps < out["nstep"]
+    if stop_mode == "rel":
+        rel_tr = jnp.where(visited, out["rel_trace"], out["lowest"])
+        abs_tr = jnp.where(visited, out["abs_trace"], out["lowest_alt"])
+    else:
+        abs_tr = jnp.where(visited, out["abs_trace"], out["lowest"])
+        rel_tr = jnp.where(visited, out["rel_trace"], out["lowest_alt"])
+
+    return SolverResult(
+        result=out["lowest_x"].reshape(shape),
+        lowest=out["lowest"],
+        nstep=out["lowest_step"],
+        prot_break=out["prot_break"],
+        abs_trace=abs_tr,
+        rel_trace=rel_tr,
+        trace=out.get("trace"),
+        trace_len=out["nstep"] + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newton's method (dense Jacobian; demo-scale, solver.py:349-366)
+# ---------------------------------------------------------------------------
+
+def newton(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-5,
+           stop_mode: str = "rel", keep_trace: bool = False) -> SolverResult:
+    shape = x0.shape
+    d = x0.size
+
+    def g_root(zf):
+        return f(zf.reshape(shape)).reshape(-1) - zf
+
+    def newton_step(z):
+        zf = z.reshape(-1)
+        J = jax.jacrev(g_root)(zf)
+        step = jnp.linalg.solve(J, g_root(zf))
+        return (zf - step).reshape(shape)
+
+    return picard(newton_step, x0, threshold=threshold, eps=eps,
+                  keep_trace=keep_trace)
+
+
+SOLVERS = {
+    "broyden": broyden,
+    "anderson": anderson,
+    "forward_iteration": picard,
+    "picard": picard,
+    "newton": newton,
+}
+
+
+def get_solver(name: str) -> Callable:
+    """Solver dispatch by flag name (main.py:81-90)."""
+    if name not in SOLVERS:
+        raise ValueError(f"unknown solver '{name}'; choose from {list(SOLVERS)}")
+    return SOLVERS[name]

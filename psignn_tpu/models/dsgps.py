@@ -1,0 +1,182 @@
+"""DS-GPS: GRU-gated recurrent GNN unrolled for k iterations.
+
+Re-designs ``dirichlet/dsgps/model.py`` (ModelDSGPS) and
+``mixed/dsgps/model.py`` as one ``lax.scan`` over k shared-weight iterations
+with a γ-discounted per-iteration residual loss:
+
+* gates z_k, r_k (single Linear + sigmoid), tanh candidate ``correction``
+  (dsgps/model.py:40-42); update ``H += z·tanh(...)`` then hard Dirichlet
+  reset (dsgps/model.py:81-89); mixed adds the Neumann branch
+  (mixed/dsgps/model.py:44-45, 91-99)
+* per-iteration losses: γ^(k−u−1)·residual + encoder + autoencoder
+  (dsgps/model.py:116-119)
+* encoder/autoencoder loss semantics differ per variant: the Dirichlet
+  variant freezes decoder (resp. encoder) parameters while keeping value
+  gradients (dsgps/model.py:100-112); the mixed variant uses detached
+  values (mixed/dsgps/model.py:108-115).  ``enc_loss_mode`` selects it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graphs import PaddedGraph
+from ..nn import layer_norm_init, mlp_apply, mlp_init
+from ..ops import message_passing, mse_masked, residual_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class DsgpsConfig:
+    latent_dim: int = 10
+    k: int = 30
+    gamma: float = 0.9
+    bc_mode: str = "dirichlet"
+    edge_dim: int = 3
+
+    @property
+    def prb_dim(self) -> int:
+        return 2 if self.bc_mode == "dirichlet" else 3
+
+    @property
+    def enc_loss_mode(self) -> str:
+        # dirichlet: parameter-freezing semantics; mixed: detached values
+        return "freeze" if self.bc_mode == "dirichlet" else "detach"
+
+
+def dsgps_init(key: jax.Array, cfg: DsgpsConfig) -> Dict:
+    D, E, P = cfg.latent_dim, cfg.edge_dim, cfg.prb_dim
+    keys = iter(jax.random.split(key, 10))
+    params = {
+        "laynorm": layer_norm_init(D),  # declared, unused (dsgps/model.py:35,76)
+        "phi_to": mlp_init(next(keys), [2 * D + E, D, D]),
+        "phi_from": mlp_init(next(keys), [2 * D + E, D, D]),
+        "z_k": mlp_init(next(keys), [3 * D + P, D]),
+        "r_k": mlp_init(next(keys), [3 * D + P, D]),
+        "correction": mlp_init(next(keys), [3 * D + P, D]),
+        "autoencoder": {
+            "encoder": mlp_init(next(keys), [1, D, D]),
+            "decoder": mlp_init(next(keys), [D, D, 1]),
+        },
+    }
+    if cfg.bc_mode == "mixed":
+        params["phi_neumann"] = mlp_init(next(keys), [2 * D + E, D, D])
+        params["update_neumann"] = mlp_init(next(keys), [2 * D + P + 2, D, D])
+    return params
+
+
+def _enc_apply(ae, x):
+    return mlp_apply(ae["encoder"], x)
+
+
+def _dec_apply(ae, x):
+    return mlp_apply(ae["decoder"], x)
+
+
+def _step(params, cfg: DsgpsConfig, graph: PaddedGraph, H, H0):
+    """One gated update (dsgps/model.py:74-89 / mixed:80-99)."""
+    mess_to = message_passing(params["phi_to"], H, graph, "to")
+    mess_from = message_passing(params["phi_from"], H, graph, "from")
+    concat = jnp.concatenate([H, mess_to, mess_from, graph.prb_data], axis=-1)
+    alpha = jax.nn.sigmoid(mlp_apply(params["z_k"], concat))
+    reset = jax.nn.sigmoid(mlp_apply(params["r_k"], concat))
+    corr = jnp.tanh(mlp_apply(params["correction"], jnp.concatenate(
+        [reset * H, mess_to, mess_from, graph.prb_data], axis=-1)))
+    H_next = H + alpha * corr
+    if cfg.bc_mode == "mixed":
+        mp_neu = message_passing(params["phi_neumann"], H, graph, "from")
+        concat_neu = jnp.concatenate(
+            [H, mp_neu, graph.prb_data, graph.unit_normal_vector], axis=-1)
+        upd_neu = mlp_apply(params["update_neumann"], concat_neu)
+        H_next = jnp.where(graph.neumann_mask > 0, upd_neu, H_next)
+    H_next = jnp.where(graph.dirichlet_mask > 0, H0, H_next)
+    return H_next * graph.fnode_mask
+
+
+def _enc_autoenc_losses(params, cfg, graph, H_next, U_next):
+    """Per-iteration auxiliary losses, both reference semantics."""
+    ae = params["autoencoder"]
+    sg = jax.lax.stop_gradient
+    if cfg.enc_loss_mode == "freeze":
+        # encoder loss: decoder params frozen, value grads kept
+        # (dsgps/model.py:100-103): mse(enc(dec(H)), H)
+        ae_dec_frozen = jax.tree.map(sg, ae["decoder"])
+        enc = mse_masked(
+            mlp_apply(ae["encoder"], mlp_apply(ae_dec_frozen, H_next)),
+            H_next, graph.node_mask)
+        # autoencoder loss: encoder params frozen (dsgps/model.py:107-110):
+        # mse(dec(enc(U)), U)
+        ae_enc_frozen = jax.tree.map(sg, ae["encoder"])
+        auto = mse_masked(
+            mlp_apply(ae["decoder"], mlp_apply(ae_enc_frozen, U_next)),
+            U_next, graph.node_mask)
+    else:
+        # detached-value semantics (mixed/dsgps/model.py:108-115)
+        u_det = sg(U_next)
+        h_det = sg(H_next)
+        enc = mse_masked(_enc_apply(ae, u_det), h_det, graph.node_mask)
+        auto = mse_masked(
+            _dec_apply(ae, sg(_enc_apply(ae, u_det))), u_det, graph.node_mask)
+    return enc, auto
+
+
+class DsgpsOutput(NamedTuple):
+    u_final: jax.Array
+    losses: Dict[str, jax.Array]   # scalars + (k,) per-iteration arrays
+
+
+def dsgps_forward(params: Dict, graph: PaddedGraph, cfg: DsgpsConfig) -> DsgpsOutput:
+    ae = params["autoencoder"]
+    U0 = graph.x
+    H0 = _enc_apply(ae, U0) * graph.fnode_mask
+    dmask = graph.dirichlet_mask[:, 0] > 0
+
+    res0 = residual_loss(U0, graph)
+    mse0 = mse_masked(U0, graph.sol, graph.node_mask)
+
+    def body(H, it):
+        H_next = _step(params, cfg, graph, H, H0)
+        U_next = _dec_apply(ae, H_next) * graph.fnode_mask
+        res = residual_loss(U_next, graph)
+        mse = mse_masked(U_next, graph.sol, graph.node_mask)
+        enc, auto = _enc_autoenc_losses(params, cfg, graph, H_next, U_next)
+        mse_dir = mse_masked(U_next, graph.sol, dmask)
+        w = cfg.gamma ** (cfg.k - it - 1.0)
+        step_loss = res * w + enc + auto
+        return H_next, dict(res=res, mse=mse, enc=enc, auto=auto,
+                            mse_dir=mse_dir, step_loss=step_loss)
+
+    H_final, per_iter = jax.lax.scan(body, H0, jnp.arange(cfg.k, dtype=jnp.float32))
+    U_final = _dec_apply(ae, H_final) * graph.fnode_mask
+
+    losses = {
+        "train_loss": jnp.sum(per_iter["step_loss"]),
+        "residual_loss": per_iter["res"][-1],
+        "residual_0": res0,
+        "mse_loss": per_iter["mse"][-1],
+        "mse_0": mse0,
+        "encoder_loss": per_iter["enc"][-1],
+        "autoencoder_loss": per_iter["auto"][-1],
+        "mse_dirichlet": per_iter["mse_dir"][-1],
+        "res_per_iter": per_iter["res"],
+        "mse_per_iter": per_iter["mse"],
+    }
+    return DsgpsOutput(u_final=U_final, losses=losses)
+
+
+def dsgps_inference(params: Dict, graph: PaddedGraph, cfg: DsgpsConfig,
+                    k: int = None) -> jax.Array:
+    """Loss-free unroll (dsgps/model.py:130-163); k overridable at test time
+    (the growing-geometry benchmark runs k→100/1000, spec_geo.py:261)."""
+    k = k or cfg.k
+    ae = params["autoencoder"]
+    H0 = _enc_apply(ae, graph.x) * graph.fnode_mask
+
+    def body(H, _):
+        return _step(params, cfg, graph, H, H0), None
+
+    H_final, _ = jax.lax.scan(body, H0, None, length=k)
+    return _dec_apply(ae, H_final) * graph.fnode_mask

@@ -1,0 +1,134 @@
+"""DSS: Deep Statistical Solver baseline — k distinct feed-forward layers.
+
+Re-designs ``dirichlet/dss/model.py`` (DeepStatisticalSolver): k per-iteration
+*distinct* Phi_to/Phi_from/Psi/Decoder modules (dss/model.py:34-55), update
+``H += α·correction`` with constant α (dss/model.py:87, launch.sh α=1e-3),
+γ-discounted BC-encoded residual loss (dss/model.py:95-98), H₀ = 0 init
+(dss/model.py:71).
+
+Per-layer params are stacked along a leading k axis (vmapped init) and the
+unroll is a ``lax.scan`` over the stacked params — one compiled layer body
+instead of k unrolled graphs.
+
+The DSS graph uses the off-diagonal system A′ with 1-d normalized edge
+features ``a_ij_norm`` and node features ``b_prime_norm``
+(dss/utilities/reader.py:89-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graphs import PaddedGraph
+from ..nn import mlp_apply, mlp_init
+from ..ops import dss_residual_loss, mse_masked
+
+
+@dataclasses.dataclass(frozen=True)
+class DssConfig:
+    latent_dim: int = 10
+    k: int = 30
+    alpha: float = 1e-3
+    gamma: float = 0.9
+
+
+def dss_init(key: jax.Array, cfg: DssConfig) -> Dict:
+    D = cfg.latent_dim
+
+    def one_layer(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "phi_to": mlp_init(k1, [2 * D + 1, D, D]),
+            "phi_from": mlp_init(k2, [2 * D + 1, D, D]),
+            "psi": mlp_init(k3, [3 * D + 3, D, D]),
+            "decoder": mlp_init(k4, [D, D, 1]),
+        }
+
+    keys = jax.random.split(key, cfg.k)
+    return {"layers": jax.vmap(one_layer)(keys)}
+
+
+def _mp(mlp_params, h, graph: PaddedGraph, direction: str):
+    """Message passing with the 1-d a_ij_norm edge feature
+    (dss/model.py:79-81)."""
+    if direction == "to":
+        xi = jnp.take(h, graph.receivers, axis=0)
+        xj = jnp.take(h, graph.senders, axis=0)
+        agg = graph.receivers
+    else:
+        xi = jnp.take(h, graph.senders, axis=0)
+        xj = jnp.take(h, graph.receivers, axis=0)
+        agg = graph.senders
+    feats = jnp.concatenate([xi, xj, graph.a_ij_norm], axis=-1)
+    msg = mlp_apply(mlp_params, feats)
+    msg = msg * graph.mp_edge_mask[:, None].astype(msg.dtype)
+    return jax.ops.segment_sum(msg, agg, num_segments=graph.n_node_cap)
+
+
+class DssOutput(NamedTuple):
+    u_final: jax.Array
+    losses: Dict[str, jax.Array]
+
+
+def dss_forward(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> DssOutput:
+    layers = params["layers"]
+    D = cfg.latent_dim
+    H0 = jnp.zeros((graph.n_node_cap, D), graph.x.dtype)
+    first_layer = jax.tree.map(lambda a: a[0], layers)
+    # U0 = decoder_0(H0) + U_init with U_init = 0 (dss/model.py:69-72)
+    U0 = mlp_apply(first_layer["decoder"], H0) * graph.fnode_mask
+    res0 = dss_residual_loss(U0, graph)
+    mse0 = mse_masked(U0, graph.x, graph.node_mask)
+
+    def body(carry, xs):
+        H, it = carry
+        layer = xs
+        mess_to = _mp(layer["phi_to"], H, graph, "to")
+        mess_from = _mp(layer["phi_from"], H, graph, "from")
+        concat = jnp.concatenate(
+            [H, mess_to, mess_from, graph.b_prime_norm], axis=-1)
+        corr = mlp_apply(layer["psi"], concat)
+        H_next = (H + cfg.alpha * corr) * graph.fnode_mask
+        U_next = mlp_apply(layer["decoder"], H_next) * graph.fnode_mask
+        res = dss_residual_loss(U_next, graph)
+        mse = mse_masked(U_next, graph.x, graph.node_mask)
+        w = cfg.gamma ** (cfg.k - it - 1.0)
+        return (H_next, it + 1.0), dict(res=res, mse=mse, step_loss=res * w,
+                                        U=U_next)
+
+    (H_final, _), per_iter = jax.lax.scan(body, (H0, jnp.float32(0.0)), layers)
+    U_final = per_iter["U"][-1]
+
+    losses = {
+        "train_loss": jnp.sum(per_iter["step_loss"]),
+        "residual_loss": per_iter["res"][-1],
+        "residual_0": res0,
+        "mse_loss": per_iter["mse"][-1],
+        "mse_0": mse0,
+        "res_per_iter": per_iter["res"],
+        "mse_per_iter": per_iter["mse"],
+    }
+    return DssOutput(u_final=U_final, losses=losses)
+
+
+def dss_inference(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> jax.Array:
+    """Loss-free unroll (dss/model.py:106-127)."""
+    layers = params["layers"]
+    H0 = jnp.zeros((graph.n_node_cap, cfg.latent_dim), graph.x.dtype)
+
+    def body(H, layer):
+        mess_to = _mp(layer["phi_to"], H, graph, "to")
+        mess_from = _mp(layer["phi_from"], H, graph, "from")
+        concat = jnp.concatenate(
+            [H, mess_to, mess_from, graph.b_prime_norm], axis=-1)
+        corr = mlp_apply(layer["psi"], concat)
+        H_next = (H + cfg.alpha * corr) * graph.fnode_mask
+        U_next = mlp_apply(layer["decoder"], H_next) * graph.fnode_mask
+        return H_next, U_next
+
+    _, Us = jax.lax.scan(body, H0, layers)
+    return Us[-1]

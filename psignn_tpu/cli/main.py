@@ -1,0 +1,124 @@
+"""Unified training CLI covering all six reference configurations.
+
+Replaces the six per-model ``main.py`` + argparse copies
+(``*/{psignn,dsgps,dss}/main.py``, ``*/utilities/utils.py:11-78``) with one
+entry point::
+
+    python -m psignn_tpu.cli.main --family psignn --variant dirichlet \
+        --path_dataset data/ --solver broyden --fw_tol 1e-5 --fw_thres 500 \
+        --lr_deq 0.01 --lr_ae 0.05 --jac_weight 1.0 --batch_size 50
+
+Canonical reference hyperparameters (SURVEY.md §6): psignn — latent_dim 10,
+n_layers 1, broyden, fw_tol 1e-5, fw_thres 400-500, bw_tol 1e-8, lr_deq 0.01,
+lr_ae 0.05, grad clip 0.1, jac_weight 1.0, batch 50; dsgps/dss — k 30,
+alpha 1e-3, gamma 0.9, lr 0.01, grad clip 0.01.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="psignn_tpu unified trainer")
+    p.add_argument("--family", type=str, default="psignn",
+                   choices=["psignn", "dsgps", "dss"])
+    p.add_argument("--variant", type=str, default="dirichlet",
+                   choices=["dirichlet", "mixed"])
+    # paths
+    p.add_argument("--path_dataset", type=str, default="dataset/")
+    p.add_argument("--path_results", type=str, default="results/")
+    p.add_argument("--comment", type=str, default="")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint path to resume from")
+    # training
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--max_epochs", type=int, default=500)
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--min_loss_save", type=float, default=1e10)
+    p.add_argument("--gradient_clip", type=float, default=1e-2)
+    p.add_argument("--stats", type=str, default="reference",
+                   choices=["reference", "auto"])
+    # optimizers
+    p.add_argument("--lr", type=float, default=0.01, help="dsgps/dss lr")
+    p.add_argument("--lr_deq", type=float, default=0.01)
+    p.add_argument("--sched_step_deq", type=float, default=0.5)
+    p.add_argument("--lr_ae", type=float, default=0.01)
+    p.add_argument("--sched_step_ae", type=float, default=0.5)
+    # solver / DEQ (psignn)
+    p.add_argument("--solver", type=str, default="broyden",
+                   choices=["broyden", "forward_iteration", "anderson",
+                            "newton"])
+    p.add_argument("--jac_weight", type=float, default=0.0)
+    p.add_argument("--latent_dim", type=int, default=10)
+    p.add_argument("--n_layers", type=int, default=1)
+    p.add_argument("--fw_tol", type=float, default=1e-5)
+    p.add_argument("--fw_thres", type=int, default=300)
+    p.add_argument("--bw_tol", type=float, default=1e-8)
+    p.add_argument("--bw_thres", type=int, default=300)
+    # unrolled models (dsgps/dss)
+    p.add_argument("--k", type=int, default=30)
+    p.add_argument("--alpha", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=0.9)
+    # data-parallel
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="0 = all local devices; shard_map DP when > 1")
+    return p
+
+
+def build_model_cfg(args):
+    from psignn_tpu.models import DsgpsConfig, DssConfig, PsignnConfig
+    if args.family == "psignn":
+        return PsignnConfig(latent_dim=args.latent_dim, n_layers=args.n_layers,
+                            bc_mode=args.variant, solver=args.solver,
+                            fw_tol=args.fw_tol, fw_thres=args.fw_thres,
+                            bw_tol=args.bw_tol, bw_thres=args.bw_thres)
+    if args.family == "dsgps":
+        return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
+                           gamma=args.gamma, bc_mode=args.variant)
+    return DssConfig(latent_dim=args.latent_dim, k=args.k, alpha=args.alpha,
+                     gamma=args.gamma)
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    from psignn_tpu.data.reader import GraphLoader, load_dataset, split_dataset
+    from psignn_tpu.train import Trainer, TrainConfig
+
+    if os.path.exists(args.path_results) and not args.resume:
+        shutil.rmtree(args.path_results)
+    os.makedirs(args.path_results, exist_ok=True)
+
+    samples = load_dataset(args.path_dataset, family=args.family,
+                           variant=args.variant, stats=args.stats)
+    train, val, test = split_dataset(samples, family=args.family,
+                                     variant=args.variant, seed=args.seed)
+    loader_train = GraphLoader(train, batch_size=args.batch_size,
+                               shuffle=True, seed=args.seed)
+    loader_val = GraphLoader(val, batch_size=args.batch_size)
+
+    cfg = TrainConfig(
+        family=args.family, model_cfg=build_model_cfg(args),
+        max_epochs=args.max_epochs, lr=args.lr, lr_deq=args.lr_deq,
+        lr_ae=args.lr_ae, sched_step_deq=args.sched_step_deq,
+        sched_step_ae=args.sched_step_ae, gradient_clip=args.gradient_clip,
+        jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
+        path_results=args.path_results, seed=args.seed)
+
+    trainer = Trainer(cfg, loader_train, loader_val)
+    if args.resume:
+        trainer.load_model(args.resume)
+    trainer.train_model()
+    print("Training finished")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,18 @@ import numpy as np
 from .solvers import SolverResult, get_solver
 
 
+# Optional host callback invoked with (lowest, nstep) after each backward
+# implicit solve — the jax equivalent of the reference writing
+# backward_iteration.csv from inside the hook (model.py:219-221).  Set it
+# BEFORE tracing the train step; it is captured at trace time.
+_BW_LOG_HOOK = None
+
+
+def set_bw_log_hook(fn) -> None:
+    global _BW_LOG_HOOK
+    _BW_LOG_HOOK = fn
+
+
 def _zero_cotangent(tree):
     """Cotangent pytree of zeros; non-float leaves get float0 (ints/bools)."""
     def z(x):
@@ -95,6 +107,8 @@ def _deq_attach_bwd(f, cfg, res, g):
     out_bw = solver(adjoint, jnp.zeros_like(g),
                     threshold=cfg.bw_thres, eps=cfg.bw_tol)
     y_star = out_bw.result
+    if _BW_LOG_HOOK is not None:
+        jax.debug.callback(_BW_LOG_HOOK, out_bw.lowest, out_bw.nstep)
     d_params, _, d_h_init = vjp_fn(y_star)
     return (d_params, _zero_cotangent(h_star), d_h_init,
             _zero_cotangent(graph))

@@ -1,0 +1,102 @@
+"""Trainer integration tests: short runs for every family, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from psignn_tpu.data.generate import generate_data, add_dss_variable
+from psignn_tpu.data.reader import load_dataset, split_dataset, GraphLoader
+from psignn_tpu.models import DsgpsConfig, DssConfig, PsignnConfig
+from psignn_tpu.train import Trainer, TrainConfig, load_checkpoint
+from psignn_tpu.train.optim import PlateauScheduler
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data"))
+    generate_data(path, n_mesh=2, n_samples=5, hsize=0.25, seed=21,
+                  verbose=False)
+    add_dss_variable(path)
+    return path
+
+
+def make_loaders(data_dir, family):
+    samples = load_dataset(data_dir, family=family)
+    train, val, test = split_dataset(samples, family=family)
+    return (GraphLoader(train, batch_size=3, shuffle=True, seed=0),
+            GraphLoader(val, batch_size=3))
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=2)
+    lrs = [s.step(m) for m in [1.0, 0.9, 0.9, 0.9, 0.9, 0.9]]
+    # improves at 0.9 once, then 3 bad epochs → one cut after patience=2
+    assert lrs[-1] == 0.5
+    d = s.state_dict()
+    s2 = PlateauScheduler(lr=9.0)
+    s2.load_state_dict(d)
+    assert s2.lr == 0.5
+
+
+def test_trainer_dsgps(tmp_path, data_dir):
+    lt, lv = make_loaders(data_dir, "dsgps")
+    cfg = TrainConfig(family="dsgps", model_cfg=DsgpsConfig(k=3),
+                      max_epochs=2, lr=0.01, gradient_clip=0.01,
+                      path_results=str(tmp_path), plot_every=100)
+    tr = Trainer(cfg, lt, lv)
+    tr.train_model()
+    assert len(tr.hist_train["loss"]) == 2
+    assert np.isfinite(tr.hist_train["loss"][-1])
+    for name in ["running_model", "best_model", "final_model"]:
+        assert os.path.exists(os.path.join(str(tmp_path), "ckpt",
+                                           name + ".ckpt")), name
+    log = open(os.path.join(str(tmp_path), "logs", "train_metrics.csv")).read()
+    assert "Training Epoch 0" in log and "Validation Epoch 1" in log
+
+
+def test_trainer_dss(tmp_path, data_dir):
+    lt, lv = make_loaders(data_dir, "dss")
+    cfg = TrainConfig(family="dss", model_cfg=DssConfig(k=3),
+                      max_epochs=1, lr=0.01, gradient_clip=0.01,
+                      path_results=str(tmp_path), plot_every=100)
+    tr = Trainer(cfg, lt, lv)
+    tr.train_model()
+    assert np.isfinite(tr.hist_val["loss"][-1])
+
+
+def test_trainer_psignn_with_logs_and_resume(tmp_path, data_dir):
+    lt, lv = make_loaders(data_dir, "psignn")
+    mc = PsignnConfig(solver="broyden", fw_tol=1e-3, fw_thres=25,
+                      bw_tol=1e-5, bw_thres=25)
+    cfg = TrainConfig(family="psignn", model_cfg=mc, max_epochs=2,
+                      lr_deq=0.01, lr_ae=0.05, gradient_clip=0.1,
+                      jac_weight=1.0, path_results=str(tmp_path),
+                      plot_every=100, val_sradius=True)
+    tr = Trainer(cfg, lt, lv)
+    tr.train_model()
+
+    logs = str(tmp_path) + "/logs"
+    fw = open(os.path.join(logs, "forward_iteration.csv")).read().strip().splitlines()
+    assert len(fw) > 2  # header + one line per train batch
+    bw = open(os.path.join(logs, "backward_iteration.csv")).read().strip().splitlines()
+    assert len(bw) > 2  # backward hook logged from inside custom_vjp
+    sr = open(os.path.join(logs, "spectral_radius.csv")).read().strip().splitlines()
+    assert len(sr) > 2
+    cfg_txt = open(os.path.join(logs, "model_config.csv")).read()
+    assert "Number of parameters" in cfg_txt
+
+    # resume: losses/histories restored
+    ckpt = load_checkpoint(os.path.join(str(tmp_path), "ckpt",
+                                        "final_model.ckpt"))
+    assert ckpt["family"] == "psignn"
+    tr2 = Trainer(cfg, lt, lv)
+    tr2.load_model(os.path.join(str(tmp_path), "ckpt", "final_model.ckpt"))
+    assert tr2.hist_val["loss"] == tr.hist_val["loss"]
+    assert tr2.min_loss_save == tr.min_loss_save
+    # resumed params numerically equal
+    import jax
+    a = jax.tree.leaves(tr.params)
+    b = jax.tree.leaves(tr2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

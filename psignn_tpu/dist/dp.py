@@ -1,0 +1,97 @@
+"""Data parallelism over batched graphs via shard_map.
+
+Replaces ``torch_geometric.nn.DataParallel`` (replica-per-GPU, Python list
+scatter, ``dirichlet/psignn/main.py:106``) with the jax-idiomatic version:
+the loader produces one fixed-shape PaddedGraph per device, the per-device
+graphs are stacked on a leading 'dp' axis and sharded over a 1-D
+``jax.sharding.Mesh``; the loss/grad computation runs per shard inside
+``shard_map`` and gradients/losses reduce with ``pmean`` over ICI — the
+collective XLA compiles onto the interconnect, no NCCL/MPI analog needed
+(SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graphs import PaddedGraph
+
+
+def make_mesh(n_devices: int = 0, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
+    """Stack per-device graphs along a new leading 'dp' axis.
+
+    All graphs must share caps and num_graphs (the loader guarantees this
+    with ``drop_last`` + fixed caps).
+    """
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def shard_stacked(stacked: PaddedGraph, mesh: Mesh, axis: str = "dp"):
+    """Place a stacked graph so the leading axis is sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+
+def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp"):
+    """Build a data-parallel value_and_grad: params replicated, graph sharded.
+
+    ``loss_fn(params, graph, rng) -> (loss, aux)`` runs on each device's
+    local graph; the shard_mapped computation returns the ``pmean``-ed loss
+    (reference DataParallel averages replica losses,
+    training_class.py:156-159) and we differentiate *through* shard_map so
+    the cotangent reduction onto the replicated params is handled by jax
+    itself (taking grads w.r.t. replicated inputs inside the body would
+    auto-psum them and double-count a manual pmean).
+    """
+
+    def dp_loss(params, graph_stacked, rng):
+        def local(p, g_stacked, r):
+            graph = jax.tree.map(
+                lambda x: x.reshape(x.shape[1:]) if x.ndim > 0 else x,
+                g_stacked)
+            # decorrelate stochastic probes (jacobian loss) across devices
+            r = jax.random.fold_in(r, jax.lax.axis_index(axis))
+            loss, aux = loss_fn(p, graph, r)
+            loss = jax.lax.pmean(loss, axis)
+            aux = jax.tree.map(lambda a: jax.lax.pmean(a, axis), aux)
+            return loss, aux
+
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(axis), P()),
+                         out_specs=(P(), P()))(params, graph_stacked, rng)
+
+    def vag(params, graph_stacked, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            dp_loss, has_aux=True)(params, graph_stacked, rng)
+        return loss, aux, grads
+
+    return vag
+
+
+def dp_train_step(loss_fn: Callable, mesh: Mesh, optimizer_update: Callable,
+                  axis: str = "dp"):
+    """Full DP train step: shard_mapped grads + replicated optimizer update.
+
+    ``optimizer_update(grads, opt_state, params, lr) -> (params, opt_state)``
+    """
+    vag = dp_value_and_grad(loss_fn, mesh, axis)
+
+    def step(params, opt_state, graph_stacked, rng, lr):
+        loss, aux, grads = vag(params, graph_stacked, rng)
+        params, opt_state = optimizer_update(grads, opt_state, params, lr)
+        return params, opt_state, loss, aux
+
+    return step

@@ -194,6 +194,62 @@ def split_dataset(samples: Sequence, family: str = "psignn",
     return a, b, c  # train, val, test
 
 
+def psignn_sample_from_fem(s: Dict[str, np.ndarray], stats: str = "reference",
+                           variant: str = "dirichlet",
+                           dtype=np.float32) -> GraphSample:
+    """Convert one ``data.fem.solve_poisson`` output dict into a
+    psignn/dsgps-format graph sample (the on-the-fly path used by the
+    growing-geometry benchmark, tests/special_geo/spec_geo.py:139-224)."""
+    st = REF_STATS[(variant, "psignn")]
+    prb_mean = np.array(st["prb_mean"]); prb_std = np.array(st["prb_std"])
+    dist_mean = np.array(st["dist_mean"]); dist_std = np.array(st["dist_std"])
+    c = sp.find(s["A"])
+    b = np.asarray(s["b"], dtype).reshape(-1, 1)
+    sol = np.asarray(s["sol"], dtype).reshape(-1, 1)
+    tags = np.asarray(s["tags"], dtype).reshape(len(sol), -1)
+    x = np.zeros_like(sol)
+    bnd = tags[:, 0] == 1 if tags.shape[1] == 1 else tags[:, 1] == 1
+    x[bnd] = b[bnd]
+    return dict(
+        x=x, b=b, sol=sol,
+        prb_data=((s["prb_data"] - prb_mean) / prb_std).astype(dtype),
+        tags=tags, pos=np.asarray(s["coordinates"], dtype),
+        senders=c[0].astype(np.int32), receivers=c[1].astype(np.int32),
+        a_ij=c[2].reshape(-1, 1).astype(dtype),
+        edge_attr=((s["distance"] - dist_mean) / dist_std).astype(dtype))
+
+
+def dss_sample_from_fem(s: Dict[str, np.ndarray], stats: str = "reference",
+                        dtype=np.float32) -> GraphSample:
+    """Convert one FEM sample into a DSS-format graph (A′ + b′ encoding,
+    generate_data.py:100-143 applied on the fly)."""
+    st = REF_STATS[("dirichlet", "dss")]
+    A_d = s["A"].toarray()
+    b = np.asarray(s["b"], dtype).reshape(-1, 1)
+    row, _ = np.where(A_d == 1)
+    np.fill_diagonal(A_d, 0.0)
+    bp = np.c_[b[:, 0], np.zeros(len(b)), np.zeros(len(b))].astype(dtype)
+    bp[row, 2] = bp[row, 0]
+    bp[row, 1] = 1.0
+    bp[row, 0] = 0.0
+    sA = sp.csr_matrix(A_d)
+    c = sp.find(sA)
+    sol = np.asarray(s["sol"], dtype).reshape(-1, 1)
+    tags = np.asarray(s["tags"], dtype).reshape(len(sol), -1)
+    v = c[2].astype(dtype)
+    return dict(
+        x=sol, b=np.zeros_like(sol), sol=sol,
+        prb_data=np.zeros((len(sol), 2), dtype), tags=tags,
+        pos=np.asarray(s["coordinates"], dtype),
+        senders=c[0].astype(np.int32), receivers=c[1].astype(np.int32),
+        a_ij=v.reshape(-1, 1),
+        a_ij_norm=((v - st["aij_mean"]) / st["aij_std"]).reshape(-1, 1).astype(dtype),
+        b_prime=bp,
+        b_prime_norm=((bp - np.array(st["bprime_mean"]))
+                      / np.array(st["bprime_std"])).astype(dtype),
+        edge_attr=np.zeros((len(c[0]), 3), dtype))
+
+
 @dataclasses.dataclass
 class GraphLoader:
     """Minibatch iterator producing fixed-shape PaddedGraph batches.

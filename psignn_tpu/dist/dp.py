@@ -69,9 +69,16 @@ def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp"):
             aux = jax.tree.map(lambda a: jax.lax.pmean(a, axis), aux)
             return loss, aux
 
+        # check_vma=False: solver while_loops carry invariant-typed values
+        # (traces, stop flags) that become device-varying after one step;
+        # the vma checker would demand explicit pcasts inside the solvers.
+        # Autodiff through shard_map still inserts the psum on the params
+        # cotangent (verified against the per-device-average oracle in
+        # tests/test_dist.py).
         return shard_map(local, mesh=mesh,
                          in_specs=(P(), P(axis), P()),
-                         out_specs=(P(), P()))(params, graph_stacked, rng)
+                         out_specs=(P(), P()),
+                         check_vma=False)(params, graph_stacked, rng)
 
     def vag(params, graph_stacked, rng):
         (loss, aux), grads = jax.value_and_grad(

@@ -157,3 +157,77 @@ def solve_poisson(mesh: Mesh, radius: float = 1.0,
         tags=tags,
         distance=distance,
     )
+
+
+def vertex_unit_normals(mesh: Mesh) -> np.ndarray:
+    """(N, 2) outward unit normals on boundary vertices, 0 interior.
+
+    The reference projects the facet normal onto P1 over the boundary via a
+    boundary mass matrix (``get_vertex_normal``,
+    mixed/dataset/extract_data.py:120-137); here we use the lumped version:
+    edge-length-weighted average of the two incident facet normals, then
+    normalized.  The boundary loop is CCW, so the outward normal of edge
+    t=(dx,dy) is (dy,−dx)."""
+    normals = np.zeros((mesh.n_points, 2))
+    loop = mesh.boundary_loop
+    if loop is None or len(loop) == 0:
+        return normals
+    p = mesh.points[loop]
+    edge = np.roll(p, -1, axis=0) - p           # facet i: loop[i]→loop[i+1]
+    fn = np.stack([edge[:, 1], -edge[:, 0]], axis=1)  # length-weighted outward
+    # vertex i touches facets i-1 and i
+    vn = fn + np.roll(fn, 1, axis=0)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = np.divide(vn, norm, out=np.zeros_like(vn), where=norm > 0)
+    normals[loop] = vn
+    return normals
+
+
+def solve_poisson_mixed(mesh: Mesh, radius: float = 1.0,
+                        rng: Optional[np.random.Generator] = None,
+                        tag_dirichlet: int = 101) -> Dict[str, np.ndarray]:
+    """One mixed-BC Poisson sample (mixed/dataset/extract_data.py:18-107):
+    homogeneous Neumann on the 303-tagged arcs is natural in the weak form,
+    Dirichlet rows applied only on 101-tagged vertices.  Encodes the
+    reference's 3-column one-hot ``tags`` ([interior, dirichlet, neumann])
+    and 3-column ``prb_data`` ([f, g, f_neumann]) plus unit vertex normals."""
+    if rng is None:
+        rng = np.random.default_rng()
+    f_fn, g_fn = random_quadratics(rng, radius)
+    A, b = assemble_p1(mesh, f_fn)
+
+    normals = vertex_unit_normals(mesh)
+    didx = np.where(mesh.boundary_tag == tag_dirichlet)[0]
+    gvals = g_fn(mesh.points[didx, 0], mesh.points[didx, 1])
+    A, b = apply_dirichlet(A, b, didx, gvals)
+
+    sol = spla.spsolve(A.tocsc(), b).reshape(-1, 1)
+
+    n = mesh.n_points
+    f_all = f_fn(mesh.points[:, 0], mesh.points[:, 1]).reshape(-1, 1)
+    # tags: [1,0,0] interior, [0,1,0] dirichlet, [0,0,1] neumann — the
+    # reference first marks the full boundary Neumann via nonzero normals,
+    # then overwrites Dirichlet rows (extract_data.py:84-102)
+    tags = np.zeros((n, 3))
+    tags[:, 0] = 1.0
+    full_bnd = np.where(mesh.boundary_mask)[0]
+    tags[full_bnd, 0] = 0.0
+    tags[full_bnd, 2] = 1.0
+    prb_data = np.zeros((n, 3))
+    prb_data[:, 0] = f_all[:, 0]
+    prb_data[full_bnd, 2] = prb_data[full_bnd, 0]
+    prb_data[full_bnd, 0] = 0.0
+    tags[didx, 1] = 1.0
+    tags[didx, 2] = 0.0
+    prb_data[didx, 1] = gvals
+    prb_data[didx, 2] = 0.0
+
+    coeff = sp.find(A)
+    edge_index = np.stack([coeff[0], coeff[1]], axis=1).astype(np.int64)
+    distance = compute_edge_distance(edge_index, mesh.points)
+
+    return dict(
+        A=A.astype(np.float64), b=b.reshape(-1, 1),
+        coordinates=mesh.points, sol=sol, prb_data=prb_data, tags=tags,
+        distance=distance, unit_normal_vector=normals,
+    )

@@ -26,17 +26,31 @@ from .meshgen import blob_mesh
 def generate_data(path_data: str, n_mesh: int = 200, n_samples: int = 50,
                   radius: float = 1.0, hsize: float = 0.08,
                   nb_bound_points: int = 10, seed: int = 1234,
+                  variant: str = "dirichlet",
                   verbose: bool = True) -> Dict[str, list]:
+    from .fem import solve_poisson_mixed
+    from .meshgen import mixed_blob_mesh
+
     rng = np.random.default_rng(seed)
-    lists = {k: [] for k in
-             ["A_sparse_matrix", "b_matrix", "sol", "prb_data",
-              "tags", "coordinates", "distance"]}
+    keys = ["A_sparse_matrix", "b_matrix", "sol", "prb_data",
+            "tags", "coordinates", "distance"]
+    if variant == "mixed":
+        keys.append("unit_normal_vector")
+    lists = {k: [] for k in keys}
 
     for n in range(n_mesh):
-        mesh = blob_mesh(radius=radius, hsize=hsize,
-                         nb_bound_points=nb_bound_points, rng=rng)
+        if variant == "mixed":
+            mesh = mixed_blob_mesh(radius=radius, hsize=hsize,
+                                   nb_bound_points=nb_bound_points, rng=rng)
+        else:
+            mesh = blob_mesh(radius=radius, hsize=hsize,
+                             nb_bound_points=nb_bound_points, rng=rng)
         for _ in range(n_samples):
-            s = solve_poisson(mesh, radius, rng)
+            if variant == "mixed":
+                s = solve_poisson_mixed(mesh, radius, rng)
+                lists["unit_normal_vector"].append(s["unit_normal_vector"])
+            else:
+                s = solve_poisson(mesh, radius, rng)
             lists["A_sparse_matrix"].append(s["A"])
             lists["b_matrix"].append(s["b"])
             lists["sol"].append(s["sol"])
@@ -123,10 +137,14 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=1.0)
     p.add_argument("--hsize", type=float, default=0.08)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--variant", type=str, default="dirichlet",
+                   choices=["dirichlet", "mixed"])
     args = p.parse_args(argv)
     generate_data(args.path_data, args.n_mesh, args.n_samples,
-                  args.radius, args.hsize, seed=args.seed)
-    add_dss_variable(args.path_data)
+                  args.radius, args.hsize, seed=args.seed,
+                  variant=args.variant)
+    if args.variant == "dirichlet":
+        add_dss_variable(args.path_data)
 
 
 if __name__ == "__main__":

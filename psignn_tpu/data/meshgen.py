@@ -34,8 +34,12 @@ class Mesh:
     triangles: np.ndarray     # (T, 3) int32 vertex indices
     boundary_mask: np.ndarray  # (N,) bool, True for boundary vertices
     # segment tag per boundary vertex (Dirichlet=101 by default; mixed-BC
-    # meshes use 101/202 for Dirichlet/Neumann, build_mesh.py:84-88)
+    # meshes use 101/303 for Dirichlet/Neumann,
+    # mixed/dataset/build_mesh.py:170-171)
     boundary_tag: np.ndarray   # (N,) int32, 0 for interior
+    # ordered boundary vertex loop (CCW); consecutive pairs are the boundary
+    # facets — used for outward vertex normals in the mixed variant
+    boundary_loop: Optional[np.ndarray] = None  # (n_bnd,) int32
 
     @property
     def n_points(self) -> int:
@@ -58,7 +62,8 @@ def _boundary_spline(radius: float, nb_bound_points: int, rng: np.random.Generat
     return CubicSpline(s, pts, bc_type="periodic")
 
 
-def _sample_boundary(spline, n_ctrl: int, hsize: float) -> np.ndarray:
+def _sample_boundary(spline, n_ctrl: int, hsize: float,
+                     return_params: bool = False):
     """Sample the closed curve at ≈hsize arc-length spacing."""
     dense_t = np.linspace(0.0, n_ctrl - 1, 4096, endpoint=False)
     dense = spline(dense_t)
@@ -69,6 +74,8 @@ def _sample_boundary(spline, n_ctrl: int, hsize: float) -> np.ndarray:
     targets = np.linspace(0.0, total, n_bnd, endpoint=False)
     idx = np.searchsorted(arclen, targets)
     idx = np.clip(idx, 0, len(dense) - 1)
+    if return_params:
+        return dense[idx], dense_t[idx]
     return dense[idx]
 
 
@@ -100,6 +107,26 @@ def _interior_points(boundary: np.ndarray, hsize: float,
     return pts
 
 
+def _finalize_mesh(points: np.ndarray, triangles: np.ndarray,
+                   n_bnd: int, bnd_tags: np.ndarray) -> Mesh:
+    """Drop unused vertices, build boundary mask/tags/loop."""
+    used = np.zeros(len(points), bool)
+    used[triangles.ravel()] = True
+    remap = -np.ones(len(points), np.int64)
+    remap[used] = np.arange(used.sum())
+    new_points = points[used]
+    new_triangles = remap[triangles].astype(np.int32)
+
+    orig_b = np.arange(n_bnd)[used[:n_bnd]]
+    loop = remap[orig_b].astype(np.int32)     # keeps CCW boundary order
+    bmask = np.zeros(len(new_points), bool)
+    bmask[loop] = True
+    btag = np.zeros(len(new_points), np.int32)
+    btag[loop] = bnd_tags[orig_b]
+    return Mesh(points=new_points, triangles=new_triangles,
+                boundary_mask=bmask, boundary_tag=btag, boundary_loop=loop)
+
+
 def blob_mesh(radius: float = 1.0, hsize: float = 0.08,
               nb_bound_points: int = 10, seed: Optional[int] = None,
               rng: Optional[np.random.Generator] = None,
@@ -116,22 +143,46 @@ def blob_mesh(radius: float = 1.0, hsize: float = 0.08,
     cent = points[tri.simplices].mean(axis=1)
     keep = MplPath(boundary).contains_points(cent)
     triangles = tri.simplices[keep].astype(np.int32)
+    bnd_tags = np.full(len(boundary), tag_dirichlet, np.int32)
+    return _finalize_mesh(points, triangles, len(boundary), bnd_tags)
 
-    # Drop vertices that ended up unused (outside-sliver cleanup)
-    used = np.zeros(len(points), bool)
-    used[triangles.ravel()] = True
-    remap = -np.ones(len(points), np.int64)
-    remap[used] = np.arange(used.sum())
-    points = points[used]
-    triangles = remap[triangles].astype(np.int32)
-    n_bnd_used = int(used[: len(boundary)].sum())
 
-    bmask = np.zeros(len(points), bool)
-    bmask[remap[np.arange(len(boundary))[used[: len(boundary)]]]] = True
-    btag = np.where(bmask, tag_dirichlet, 0).astype(np.int32)
-    del n_bnd_used
-    return Mesh(points=points, triangles=triangles,
-                boundary_mask=bmask, boundary_tag=btag)
+def mixed_blob_mesh(radius: float = 1.0, hsize: float = 0.08,
+                    nb_bound_points: int = 10, seed: Optional[int] = None,
+                    rng: Optional[np.random.Generator] = None,
+                    tag_dirichlet: int = 101, tag_neumann: int = 303) -> Mesh:
+    """Mixed-BC blob mesh: the boundary splits into 4 arcs by control-point
+    quarters with randomly-oriented alternating Dirichlet/Neumann pairs
+    (mixed/dataset/build_mesh.py:78-107).  A vertex is Dirichlet if it
+    touches any Dirichlet facet (gmsh physical-group + DirichletBC facet
+    semantics), so interface vertices go to Dirichlet."""
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    spline = _boundary_spline(radius, nb_bound_points, rng)
+    boundary, params = _sample_boundary(spline, nb_bound_points, hsize,
+                                        return_params=True)
+    n = len(boundary)
+    # facet between samples i and i+1; quarter by midpoint parameter
+    t_max = float(nb_bound_points - 1)
+    p0 = params
+    p1 = np.roll(params, -1)
+    p1 = np.where(p1 < p0, p1 + t_max, p1)
+    mid = ((p0 + p1) / 2.0) % t_max
+    quarter = np.minimum(mid / t_max * 4.0, 3.999).astype(int)
+    sense = int(rng.integers(0, 2))
+    dirichlet_arcs = {0, 2} if sense == 1 else {1, 3}
+    facet_is_d = np.isin(quarter, list(dirichlet_arcs))
+    # vertex i touches facets i-1 and i
+    vert_is_d = facet_is_d | np.roll(facet_is_d, 1)
+    bnd_tags = np.where(vert_is_d, tag_dirichlet, tag_neumann).astype(np.int32)
+
+    interior = _interior_points(boundary, hsize, rng)
+    points = np.concatenate([boundary, interior], axis=0)
+    tri = Delaunay(points)
+    cent = points[tri.simplices].mean(axis=1)
+    keep = MplPath(boundary).contains_points(cent)
+    triangles = tri.simplices[keep].astype(np.int32)
+    return _finalize_mesh(points, triangles, n, bnd_tags)
 
 
 def circle_mesh(radius: float = 1.0, hsize: float = 0.08,
@@ -146,19 +197,8 @@ def circle_mesh(radius: float = 1.0, hsize: float = 0.08,
     points = np.concatenate([boundary, interior], axis=0)
     tri = Delaunay(points)
     cent = points[tri.simplices].mean(axis=1)
-    keep = np.linalg.norm(cent, axis=1) < radius * (1 - 1e-9) + 0.0
     # centroid-in-circle test with tolerance for boundary-chord triangles
     keep = np.linalg.norm(cent, axis=1) <= radius
     triangles = tri.simplices[keep].astype(np.int32)
-    used = np.zeros(len(points), bool)
-    used[triangles.ravel()] = True
-    remap = -np.ones(len(points), np.int64)
-    remap[used] = np.arange(used.sum())
-    points = points[used]
-    triangles = remap[triangles].astype(np.int32)
-    bmask = np.zeros(len(points), bool)
-    orig_b = np.arange(n_bnd)[used[:n_bnd]]
-    bmask[remap[orig_b]] = True
-    btag = np.where(bmask, 101, 0).astype(np.int32)
-    return Mesh(points=points, triangles=triangles,
-                boundary_mask=bmask, boundary_tag=btag)
+    bnd_tags = np.full(n_bnd, 101, np.int32)
+    return _finalize_mesh(points, triangles, n_bnd, bnd_tags)

@@ -227,17 +227,32 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
 # Broyden's method
 # ---------------------------------------------------------------------------
 
-def _rmatvec(Us, VTs, x):
-    """x^T (−I + U Vᵀ) with Us/VTs stored as (T, N·D) step-major rank-1
-    factors (solver.py:96-104); zero rows are no-ops."""
-    xTU = jnp.matmul(Us, x, precision=_HI)          # (T,)
-    return -x + jnp.matmul(xTU, VTs, precision=_HI)
+_LR_BLOCK = 32  # rank-1 factors are stored in blocks of 32 steps
 
 
-def _matvec(Us, VTs, x):
-    """(−I + U Vᵀ) x (solver.py:106-114)."""
-    VTx = jnp.matmul(VTs, x, precision=_HI)         # (T,)
-    return -x + jnp.matmul(VTx, Us, precision=_HI)
+def _rmatvec(Us, VTs, x, nblocks):
+    """x^T (−I + U Vᵀ) with Us/VTs stored as (T/B, B, N·D) step-blocked
+    rank-1 factors (semantics of solver.py:96-104).
+
+    Only the first ``nblocks`` blocks are touched — the buffers are sized
+    for the full threshold but at step ``nstep`` only ``nstep`` rows are
+    live, so streaming the whole buffer (what a direct port would do) wastes
+    HBM bandwidth proportional to ``threshold/nstep``; the blocked fori_loop
+    makes per-iteration traffic proportional to the live rank instead."""
+    def body(i, acc):
+        xtu = jnp.matmul(Us[i], x, precision=_HI)        # (B,)
+        return acc + jnp.matmul(xtu, VTs[i], precision=_HI)
+    acc = jax.lax.fori_loop(0, nblocks, body, jnp.zeros_like(x))
+    return -x + acc
+
+
+def _matvec(Us, VTs, x, nblocks):
+    """(−I + U Vᵀ) x (solver.py:106-114), step-blocked as above."""
+    def body(i, acc):
+        vtx = jnp.matmul(VTs[i], x, precision=_HI)       # (B,)
+        return acc + jnp.matmul(vtx, Us[i], precision=_HI)
+    acc = jax.lax.fori_loop(0, nblocks, body, jnp.zeros_like(x))
+    return -x + acc
 
 
 def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
@@ -257,8 +272,10 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
     xf = x0.reshape(-1)
     g = lambda xflat: f(xflat.reshape(shape)).reshape(-1) - xflat
     gx = g(xf)
-    Us = jnp.zeros((T, d), x0.dtype)
-    VTs = jnp.zeros((T, d), x0.dtype)
+    B = _LR_BLOCK
+    n_blocks_cap = -(-T // B)
+    Us = jnp.zeros((n_blocks_cap, B, d), x0.dtype)
+    VTs = jnp.zeros((n_blocks_cap, B, d), x0.dtype)
     update = gx  # −matvec(empty) = +gx
 
     trace = None
@@ -303,17 +320,19 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         prot = diff > first * protect_thres
 
         # Broyden rank-1 update (solver.py:185-192); rows ≥ nstep are zero so
-        # the full buffers equal the reference's :nstep-1 slices.
+        # the blocked buffers equal the reference's :nstep-1 slices, and only
+        # the ceil(nstep/B) live blocks are streamed from HBM.
+        nblk = (nstep + B - 1) // B
         delta_x = x_new - c["x"]
         delta_gx = gx_new - c["gx"]
-        vT = _rmatvec(c["Us"], c["VTs"], delta_x)
+        vT = _rmatvec(c["Us"], c["VTs"], delta_x, nblk)
         denom = _vdot(vT, delta_gx)
-        u = (delta_x - _matvec(c["Us"], c["VTs"], delta_gx)) / denom
+        u = (delta_x - _matvec(c["Us"], c["VTs"], delta_gx, nblk)) / denom
         vT = jnp.nan_to_num(vT, nan=0.0, posinf=0.0, neginf=0.0)
         u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
-        Us = c["Us"].at[nstep - 1].set(u)
-        VTs = c["VTs"].at[nstep - 1].set(vT)
-        new_update = -_matvec(Us, VTs, gx_new)
+        Us = c["Us"].at[(nstep - 1) // B, (nstep - 1) % B].set(u)
+        VTs = c["VTs"].at[(nstep - 1) // B, (nstep - 1) % B].set(vT)
+        new_update = -_matvec(Us, VTs, gx_new, nblk)
 
         c2 = dict(c, x=x_new, gx=gx_new, update=new_update, Us=Us, VTs=VTs,
                   nstep=nstep, abs_trace=abs_trace, rel_trace=rel_trace,

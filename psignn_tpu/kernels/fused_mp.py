@@ -1,0 +1,235 @@
+"""Fused message passing as block one-hot MXU matmuls.
+
+Computes the same contract as ``ops.message_passing`` (reference Phi_to /
+Phi_from, psignn/model.py:334-368): for every edge, the 2-layer MLP of
+``[x_i, x_j, edge_attr]`` scatter-added at the aggregation node — but with
+no gather/scatter primitives at all (Mosaic has no fast arbitrary gather):
+
+1. Split the first MLP layer by input rows: ``W1 = [W1a; W1b; W1c]`` so the
+   pre-activation is ``h[agg]·W1a + h[oth]·W1b + ea·W1c + b1``.  The two
+   ``h·W1*`` products are dense (N, Dh) matmuls done once per call.
+2. Edges are sorted by aggregation node and packed per 128-node block.
+   Inside the kernel, a {0,1} selection matrix built from
+   ``broadcasted_iota`` comparisons fetches rows (gather = one-hot @ rows)
+   and its transpose accumulates messages (scatter-add = one-hotᵀ @ msgs) —
+   both on the MXU, duplicate indices handled by the matmul reduction.
+3. ``x_j`` rows come from a bandwidth-bounded window of ``h·W1b`` DMA-ed to
+   VMEM per block; RCM node ordering keeps the window small (O(√N) for 2-D
+   meshes).
+
+Pack once per graph (``pack_mp_blocks``), reuse across all fixed-point
+iterations — only ``h`` changes per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn import Params
+
+BLOCK_N = 128   # aggregation nodes per output block
+BLOCK_E = 128   # edges per inner MXU step
+
+
+def rcm_permutation(senders: np.ndarray, receivers: np.ndarray,
+                    n_nodes: int) -> np.ndarray:
+    """Reverse-Cuthill-McKee node ordering (list of old indices in new
+    order).  Bandwidth-minimizing orderings keep the kernel's x_j windows
+    small; apply with ``apply_node_permutation``."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    A = sp.coo_matrix((np.ones(len(senders)), (senders, receivers)),
+                      shape=(n_nodes, n_nodes)).tocsr()
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+
+def apply_node_permutation(sample: Dict[str, np.ndarray],
+                           perm: np.ndarray) -> Dict[str, np.ndarray]:
+    """Permute a per-sample dict's node arrays and remap edge endpoints."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    out = dict(sample)
+    n = len(perm)
+    for k, v in sample.items():
+        if k in ("senders", "receivers"):
+            out[k] = inv[np.asarray(v)].astype(np.int32)
+        elif hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 \
+                and v.shape[0] == n:
+            out[k] = np.asarray(v)[perm]
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MPBlocks:
+    """Edge data packed per 128-aggregation-node block (one direction)."""
+    agg_local: jax.Array    # (n_blocks, E_cap) int32 in [0, BLOCK_N)
+    oth_local: jax.Array    # (n_blocks, E_cap) int32 in [0, window)
+    edge_attr: jax.Array    # (n_blocks, E_cap, edge_dim) float32
+    mask: jax.Array         # (n_blocks, E_cap) float32
+    win_start: jax.Array    # (n_blocks,) int32 row offsets into h
+    window: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_node_cap: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
+                   edge_attr: np.ndarray, edge_mask: np.ndarray,
+                   n_node_cap: int, direction: str,
+                   window: Optional[int] = None) -> MPBlocks:
+    """Sort+pack edges by aggregation node for the fused kernel.
+
+    ``direction='to'`` aggregates at receivers (x_i = receiver),
+    ``'from'`` at senders — matching ops.message_passing.  Self-loop and
+    masked edges are dropped here (exact no-ops in the fallback too)."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_attr = np.asarray(edge_attr)
+    keep = np.asarray(edge_mask) & (senders != receivers)
+    agg = (receivers if direction == "to" else senders)[keep]
+    oth = (senders if direction == "to" else receivers)[keep]
+    ea = edge_attr[keep]
+
+    assert n_node_cap % BLOCK_N == 0, n_node_cap
+    n_blocks = n_node_cap // BLOCK_N
+    order = np.argsort(agg, kind="stable")
+    agg, oth, ea = agg[order], oth[order], ea[order]
+    blk = agg // BLOCK_N
+    counts = np.bincount(blk, minlength=n_blocks)
+    e_cap = max(BLOCK_E, int(-(-counts.max() // BLOCK_E) * BLOCK_E))
+
+    edge_dim = ea.shape[1]
+    agg_local = np.zeros((n_blocks, e_cap), np.int32)
+    oth_global = np.zeros((n_blocks, e_cap), np.int32)
+    ea_pack = np.zeros((n_blocks, e_cap, edge_dim), np.float32)
+    mask = np.zeros((n_blocks, e_cap), np.float32)
+    win_start = np.zeros((n_blocks,), np.int32)
+
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    max_need = BLOCK_N
+    for i in range(n_blocks):
+        lo, hi = starts[i], starts[i + 1]
+        c = hi - lo
+        if c == 0:
+            continue
+        agg_local[i, :c] = agg[lo:hi] - i * BLOCK_N
+        oth_global[i, :c] = oth[lo:hi]
+        ea_pack[i, :c] = ea[lo:hi]
+        mask[i, :c] = 1.0
+        o_min = int(oth[lo:hi].min())
+        o_max = int(oth[lo:hi].max())
+        ws = (o_min // BLOCK_N) * BLOCK_N
+        win_start[i] = ws
+        max_need = max(max_need, o_max - ws + 1)
+
+    W = window or int(-(-max_need // BLOCK_N) * BLOCK_N)
+    if W < max_need:
+        raise ValueError(f"window {W} < required {max_need}; "
+                         "re-order nodes (RCM) or raise window")
+    W = min(W, n_node_cap)
+    win_start = np.minimum(win_start, n_node_cap - W).astype(np.int32)
+    oth_local = (oth_global - win_start[:, None]).astype(np.int32)
+    oth_local = np.where(mask > 0, oth_local, 0).astype(np.int32)
+
+    return MPBlocks(
+        agg_local=jnp.asarray(agg_local), oth_local=jnp.asarray(oth_local),
+        edge_attr=jnp.asarray(ea_pack), mask=jnp.asarray(mask),
+        win_start=jnp.asarray(win_start), window=W, n_node_cap=n_node_cap)
+
+
+def fused_message_passing(mlp_params: List[Params], h: jax.Array,
+                          blocks: MPBlocks, latent_dim: int,
+                          interpret: bool = False) -> jax.Array:
+    """Drop-in fused replacement for ``ops.message_passing``.
+
+    ``mlp_params`` is the 2-layer Phi MLP [Linear(2D+edge_dim→Dh),
+    Linear(Dh→D)] with ReLU between, as in the reference."""
+    D = latent_dim
+    w1 = mlp_params[0]["w"]
+    b1 = mlp_params[0]["b"].reshape(1, -1)
+    w2 = mlp_params[1]["w"]
+    b2 = mlp_params[1]["b"].reshape(1, -1)
+    w1a, w1b, w1c = w1[:D], w1[D:2 * D], w1[2 * D:]
+    dh = w1.shape[1]
+    d_out = w2.shape[1]
+    edge_dim = w1.shape[0] - 2 * D
+
+    hi_prec = jax.lax.Precision.HIGHEST
+    ha = jnp.dot(h, w1a, precision=hi_prec)
+    hb = jnp.dot(h, w1b, precision=hi_prec)
+
+    n_blocks, e_cap = blocks.agg_local.shape
+    W = blocks.window
+
+    def kernel(ws_ref, ha_ref, aggl_ref, othl_ref, ea_ref, mask_ref,
+               w1c_ref, b1_ref, w2_ref, b2_ref, hb_ref, out_ref,
+               hb_win, sem):
+        i = pl.program_id(0)
+        ws = ws_ref[i]
+        dma = pltpu.make_async_copy(hb_ref.at[pl.ds(ws, W), :], hb_win, sem)
+        dma.start()
+        dma.wait()
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+        f32 = jnp.float32
+
+        def sub(s, _):
+            sl = pl.ds(s * BLOCK_E, BLOCK_E)
+            agg_l = aggl_ref[0, sl]
+            oth_l = othl_ref[0, sl]
+            m = mask_ref[0, sl]
+            ea = ea_ref[0, sl, :]
+
+            iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, BLOCK_E), 0)
+            S = (iota_n == agg_l[None, :]).astype(f32)      # (BN, BE)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_E, W), 1)
+            G = (iota_w == oth_l[:, None]).astype(f32)      # (BE, W)
+
+            xi = jnp.dot(S.T, ha_ref[:], preferred_element_type=f32)
+            xj = jnp.dot(G, hb_win[:], preferred_element_type=f32)
+            pre = (xi + xj
+                   + jnp.dot(ea, w1c_ref[:], preferred_element_type=f32)
+                   + b1_ref[0, :])
+            msg = (jnp.dot(jnp.maximum(pre, 0.0), w2_ref[:],
+                           preferred_element_type=f32) + b2_ref[0, :])
+            msg = msg * m[:, None]
+            out_ref[:] += jnp.dot(S, msg, preferred_element_type=f32)
+            return 0
+
+        jax.lax.fori_loop(0, e_cap // BLOCK_E, sub, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, dh), lambda i, ws: (i, 0)),
+            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
+            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
+            pl.BlockSpec((1, e_cap, edge_dim), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1c
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b2
+            pl.BlockSpec(memory_space=pl.ANY),       # hb (manual DMA)
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, d_out), lambda i, ws: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((blocks.n_node_cap, d_out),
+                                       jnp.float32),
+        interpret=interpret,
+    )(blocks.win_start, ha, blocks.agg_local, blocks.oth_local,
+      blocks.edge_attr, blocks.mask, w1c, b1, w2, b2, hb)

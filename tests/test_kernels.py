@@ -1,0 +1,88 @@
+"""Pallas fused message-passing kernel vs the XLA ops oracle (interpret
+mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psignn_tpu import ops
+from psignn_tpu.data.generate import generate_data
+from psignn_tpu.data.reader import load_dataset
+from psignn_tpu.graphs import batch_graphs
+from psignn_tpu.kernels import (pack_mp_blocks, fused_message_passing,
+                                rcm_permutation)
+from psignn_tpu.kernels.fused_mp import apply_node_permutation
+from psignn_tpu.nn import mlp_init
+
+
+@pytest.fixture(scope="module")
+def graph():
+    import tempfile
+    path = tempfile.mkdtemp()
+    generate_data(path, n_mesh=2, n_samples=2, hsize=0.2, seed=41,
+                  verbose=False)
+    samples = load_dataset(path, family="psignn")
+    # RCM-permute each sample for small kernel windows
+    out = []
+    for s in samples[:2]:
+        perm = rcm_permutation(s["senders"], s["receivers"], len(s["x"]))
+        out.append(apply_node_permutation(s, perm))
+    return batch_graphs(out)
+
+
+def test_rcm_reduces_bandwidth(graph):
+    s = np.asarray(graph.senders)[np.asarray(graph.edge_mask)]
+    r = np.asarray(graph.receivers)[np.asarray(graph.edge_mask)]
+    bw = np.abs(s - r).max()
+    assert bw < 160  # RCM bandwidth on these meshes is tiny vs N
+
+
+def test_apply_node_permutation_preserves_graph():
+    rng = np.random.default_rng(0)
+    n = 30
+    sample = dict(
+        x=rng.normal(size=(n, 1)).astype(np.float32),
+        senders=rng.integers(0, n, 50).astype(np.int32),
+        receivers=rng.integers(0, n, 50).astype(np.int32),
+        a_ij=rng.normal(size=(50, 1)).astype(np.float32),
+    )
+    perm = rng.permutation(n)
+    out = apply_node_permutation(sample, perm)
+    # edge values still connect the same feature vectors
+    for e in range(50):
+        old_s = sample["senders"][e]
+        np.testing.assert_allclose(out["x"][out["senders"][e]],
+                                   sample["x"][old_s])
+
+
+@pytest.mark.parametrize("direction", ["to", "from"])
+def test_fused_mp_matches_ops(graph, direction):
+    D = 10
+    params = mlp_init(jax.random.PRNGKey(0), [2 * D + 3, D, D])
+    h = jax.random.normal(jax.random.PRNGKey(1), (graph.n_node_cap, D))
+
+    want = ops.message_passing(params, h, graph, direction)
+
+    blocks = pack_mp_blocks(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_attr), np.asarray(graph.edge_mask),
+        graph.n_node_cap, direction)
+    got = fused_message_passing(params, h, blocks, D, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pack_blocks_shapes(graph):
+    blocks = pack_mp_blocks(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_attr), np.asarray(graph.edge_mask),
+        graph.n_node_cap, "to")
+    assert blocks.agg_local.shape[0] == graph.n_node_cap // 128
+    assert blocks.window % 128 == 0
+    assert int(blocks.mask.sum()) == int(
+        (graph.edge_mask & (graph.senders != graph.receivers)).sum())
+    # every local index within bounds
+    assert int(blocks.agg_local.max()) < 128
+    assert int(blocks.oth_local.max()) < blocks.window

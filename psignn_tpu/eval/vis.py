@@ -1,0 +1,151 @@
+"""Visualization suite.
+
+Focused re-design of the reference's four ``vis.py`` copies (~4200 LoC,
+``dirichlet/psignn/test/vis.py:23-1266``, ``utilities/vis.py:44-141``):
+tricontour solution/error maps, node-type maps, per-iteration frames and
+convergence curves, spectral-radius histories.  All functions take numpy
+arrays (or a per-sample dict) and write PNGs; nothing here touches jax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.tri as mtri  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _triangulation(pos: np.ndarray):
+    return mtri.Triangulation(pos[:, 0], pos[:, 1])
+
+
+def plot_solution_map(pos, u, path, title="Solution", cmap="viridis",
+                      triangles=None):
+    """Tricontour map of a nodal field (vis.py solution maps)."""
+    tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
+           if triangles is not None else _triangulation(pos))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    tc = ax.tricontourf(tri, np.asarray(u).ravel(), levels=30, cmap=cmap)
+    fig.colorbar(tc, ax=ax)
+    ax.set_title(title)
+    ax.set_aspect("equal")
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_error_map(pos, u, sol, path, title="|u - sol|", triangles=None):
+    err = np.abs(np.asarray(u).ravel() - np.asarray(sol).ravel())
+    return plot_solution_map(pos, err, path, title=title, cmap="magma",
+                             triangles=triangles)
+
+
+def plot_node_types(pos, tags, path, title="Node types"):
+    """Scatter map of interior / Dirichlet / Neumann nodes
+    (vis.py node-type maps)."""
+    tags = np.asarray(tags)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    if tags.shape[-1] == 3:
+        kinds = [("interior", tags[:, 0] == 1, "tab:gray"),
+                 ("dirichlet", tags[:, 1] == 1, "tab:blue"),
+                 ("neumann", tags[:, 2] == 1, "tab:red")]
+    else:
+        t = tags.ravel()
+        kinds = [("interior", t == 0, "tab:gray"),
+                 ("dirichlet", t == 1, "tab:blue")]
+    for name, m, c in kinds:
+        ax.scatter(pos[m, 0], pos[m, 1], s=8, c=c, label=name)
+    ax.legend()
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_convergence(res_trace: Sequence[float], path,
+                     mse_trace: Optional[Sequence[float]] = None,
+                     title="Convergence"):
+    """Residual (and MSE) vs iteration curves (vis.py residual/MSE
+    iteration plots; psignn iterative_inference output)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogy(np.asarray(res_trace), label="residual")
+    if mse_trace is not None:
+        ax.semilogy(np.asarray(mse_trace), label="MSE vs FEM")
+    ax.set_xlabel("iteration")
+    ax.legend()
+    ax.set_title(title)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_iteration_frames(pos, u_trace, out_dir, prefix="iter",
+                          sol: Optional[np.ndarray] = None,
+                          every: int = 1, triangles=None) -> List[str]:
+    """Per-iteration solution frames (the reference renders GIF frames from
+    ``iterative_inference``, vis.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    u_trace = np.asarray(u_trace)
+    vmin = float(u_trace.min()) if sol is None else float(np.min(sol))
+    vmax = float(u_trace.max()) if sol is None else float(np.max(sol))
+    tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
+           if triangles is not None else _triangulation(pos))
+    for k in range(0, len(u_trace), every):
+        fig, ax = plt.subplots(figsize=(5, 4))
+        tc = ax.tricontourf(tri, u_trace[k].ravel(), levels=30,
+                            vmin=vmin, vmax=vmax, cmap="viridis")
+        fig.colorbar(tc, ax=ax)
+        ax.set_title(f"iteration {k}")
+        ax.set_aspect("equal")
+        p = os.path.join(out_dir, f"{prefix}_{k:04d}.png")
+        fig.savefig(p, dpi=80, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
+def plot_spectral_radius(csv_path: str, out_path: str):
+    """Spectral-radius history from the trainer's CSV log
+    (utilities/vis.py:836)."""
+    vals = []
+    with open(csv_path) as f:
+        for line in f.readlines()[1:]:
+            line = line.strip()
+            if line:
+                try:
+                    vals.append(float(line))
+                except ValueError:
+                    pass
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(vals)
+    ax.axhline(1.0, color="r", linestyle="--", label="ρ = 1")
+    ax.set_xlabel("validation batch")
+    ax.set_ylabel("spectral radius")
+    ax.legend()
+    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_radius_sweep(summary: Dict[str, Dict[float, Dict[str, float]]],
+                      out_path: str, metric: str = "mse"):
+    """Cross-model growing-geometry comparison plot
+    (tests/txtresults/plot_results.ipynb analog)."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, per_radius in summary.items():
+        rs = sorted(per_radius.keys())
+        ax.semilogy(rs, [per_radius[r][metric] for r in rs], "o-",
+                    label=name)
+    ax.set_xlabel("radius")
+    ax.set_ylabel(metric)
+    ax.legend()
+    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

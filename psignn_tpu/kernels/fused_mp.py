@@ -165,7 +165,15 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
     hb = jnp.dot(h, w1b, precision=hi_prec)
 
     n_blocks, e_cap = blocks.agg_local.shape
+    n_sub = e_cap // BLOCK_E
     W = blocks.window
+
+    # reshape per-block edge arrays to (n_blocks, n_sub, BLOCK_E) so block
+    # shapes keep the Mosaic (8, 128)-tile divisibility on the last two dims
+    aggl3 = blocks.agg_local.reshape(n_blocks, n_sub, BLOCK_E)
+    othl3 = blocks.oth_local.reshape(n_blocks, n_sub, BLOCK_E)
+    mask3 = blocks.mask.reshape(n_blocks, n_sub, BLOCK_E)
+    ea3 = blocks.edge_attr  # (n_blocks, e_cap, edge_dim)
 
     def kernel(ws_ref, ha_ref, aggl_ref, othl_ref, ea_ref, mask_ref,
                w1c_ref, b1_ref, w2_ref, b2_ref, hb_ref, out_ref,
@@ -180,11 +188,10 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
         f32 = jnp.float32
 
         def sub(s, _):
-            sl = pl.ds(s * BLOCK_E, BLOCK_E)
-            agg_l = aggl_ref[0, sl]
-            oth_l = othl_ref[0, sl]
-            m = mask_ref[0, sl]
-            ea = ea_ref[0, sl, :]
+            agg_l = aggl_ref[0, s]                        # (BE,)
+            oth_l = othl_ref[0, s]                        # (BE,)
+            m = mask_ref[0, s]                            # (BE,)
+            ea = ea_ref[0, pl.ds(s * BLOCK_E, BLOCK_E), :]  # (BE, edge_dim)
 
             iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, BLOCK_E), 0)
             S = (iota_n == agg_l[None, :]).astype(f32)      # (BN, BE)
@@ -202,17 +209,17 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
             out_ref[:] += jnp.dot(S, msg, preferred_element_type=f32)
             return 0
 
-        jax.lax.fori_loop(0, e_cap // BLOCK_E, sub, 0)
+        jax.lax.fori_loop(0, n_sub, sub, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((BLOCK_N, dh), lambda i, ws: (i, 0)),
-            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
-            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
+            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec((1, e_cap, edge_dim), lambda i, ws: (i, 0, 0)),
-            pl.BlockSpec((1, e_cap), lambda i, ws: (i, 0)),
+            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1c
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
@@ -231,5 +238,4 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
         out_shape=jax.ShapeDtypeStruct((blocks.n_node_cap, d_out),
                                        jnp.float32),
         interpret=interpret,
-    )(blocks.win_start, ha, blocks.agg_local, blocks.oth_local,
-      blocks.edge_attr, blocks.mask, w1c, b1, w2, b2, hb)
+    )(blocks.win_start, ha, aggl3, othl3, ea3, mask3, w1c, b1, w2, b2, hb)

@@ -89,6 +89,10 @@ class PaddedGraph:
     a_ij_norm: Optional[jax.Array] = None      # (E, 1) normalized off-diag values (DSS)
     unit_normal_vector: Optional[jax.Array] = None  # (N, 2) mixed-BC normals
 
+    # --- optional fused-kernel edge packings (psignn_tpu.kernels) ---
+    mp_blocks_to: Optional[Any] = None    # MPBlocks, aggregation at receivers
+    mp_blocks_from: Optional[Any] = None  # MPBlocks, aggregation at senders
+
     # --- static metadata ---
     num_graphs: int = dataclasses.field(metadata=dict(static=True), default=1)
 
@@ -145,6 +149,7 @@ def batch_graphs(
     node_multiple: int = 256,
     edge_multiple: int = 1024,
     dtype=np.float32,
+    pack_kernel_blocks: bool = False,
 ) -> PaddedGraph:
     """Pack a list of per-sample numpy dicts into one PaddedGraph.
 
@@ -206,7 +211,18 @@ def batch_graphs(
     tag_w = int(np.asarray(samples[0]["tags"]).reshape(samples[0]["tags"].shape[0], -1).shape[1])
     prb_w = int(np.asarray(samples[0]["prb_data"]).reshape(samples[0]["prb_data"].shape[0], -1).shape[1])
 
+    mp_to = mp_from = None
+    if pack_kernel_blocks:
+        from .kernels import pack_mp_blocks
+        ea_for_pack = edge_feat("edge_attr", 3)
+        mp_to = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,
+                               cap_n, "to")
+        mp_from = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,
+                                 cap_n, "from")
+
     return PaddedGraph(
+        mp_blocks_to=mp_to,
+        mp_blocks_from=mp_from,
         x=jnp.asarray(node_feat("x", 1)),
         b=jnp.asarray(node_feat("b", 1)),
         sol=jnp.asarray(node_feat("sol", 1)),

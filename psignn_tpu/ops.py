@@ -42,13 +42,26 @@ def gather_concat(h: jax.Array, graph: PaddedGraph, direction: str) -> jax.Array
     return jnp.concatenate([xi, xj, graph.edge_attr], axis=-1)
 
 
+import os
+
+USE_PALLAS_MP = os.environ.get("PSIGNN_TPU_PALLAS", "0") == "1"
+
+
 def message_passing(mlp_params: List[Params], h: jax.Array,
                     graph: PaddedGraph, direction: str) -> jax.Array:
     """One directional message-passing aggregation (Phi_to / Phi_from).
 
     Messages on self-loop or padded edges are masked to zero before the
-    segment sum, making them exact no-ops.
+    segment sum, making them exact no-ops.  When the graph carries fused-
+    kernel edge packings and PSIGNN_TPU_PALLAS=1, dispatches to the Pallas
+    MXU kernel (psignn_tpu.kernels) instead of take+segment_sum.
     """
+    blocks = (graph.mp_blocks_to if direction == "to"
+              else graph.mp_blocks_from)
+    if USE_PALLAS_MP and blocks is not None and len(mlp_params) == 2:
+        from .kernels import fused_message_passing
+        return fused_message_passing(mlp_params, h, blocks,
+                                     latent_dim=h.shape[-1])
     feats = gather_concat(h, graph, direction)
     msg = mlp_apply(mlp_params, feats)
     msg = msg * graph.mp_edge_mask[:, None].astype(msg.dtype)

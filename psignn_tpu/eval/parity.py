@@ -1,0 +1,125 @@
+"""Parity report: converted reference checkpoints run in this framework.
+
+Loads the reference's golden checkpoints (compat.py), runs them through our
+models on freshly generated meshes at the benchmark radii, and compares
+against the reference's published numbers (BASELINE.md):
+
+* Ψ-GNN fixed-point iteration counts per radius (35 / 67 / 200 / 520 / 531)
+* MSE vs FEM per radius and per model family
+* DSS/DSGPS inference at their trained k
+
+Differences stem from mesh-generator statistics (our Delaunay blobs vs
+gmsh), so agreement is expected at the order-of-magnitude level in MSE and
+closely in iteration counts.
+
+Run: ``python -m psignn_tpu.eval.parity --out PARITY.md``
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import jax
+import numpy as np
+
+REF = "/root/reference"
+CKPTS = {
+    "psignn": os.path.join(
+        REF, "dirichlet/psignn/results/constant_dataset/ckpt/best_model.pt"),
+    "dsgps": os.path.join(
+        REF, "dirichlet/dsgps/results/constant_dataset/30_ite_gamma_0_9/"
+        "ckpt/best_model.pt"),
+    "dss": os.path.join(
+        REF, "dirichlet/dss/results/dss_results/ckpt/best_model.pt"),
+}
+
+BASELINE_MSE = {  # tests/txtresults/*_results.csv row 2 (BASELINE.md)
+    "psignn": {0.6: 6.04e-3, 1.0: 7.61e-3, 2.0: 0.702, 4.0: 67.7, 5.0: 177.8},
+    "dss": {0.6: 0.0145, 1.0: 0.0318, 2.0: 10.9, 4.0: 200.1, 5.0: 531.6},
+    "dsgps": {0.6: 0.0365, 1.0: 0.218, 2.0: 4.00, 4.0: 149.3, 5.0: 442.4},
+}
+BASELINE_NSTEP = {0.6: 35.0, 1.0: 67.2, 2.0: 199.8, 4.0: 519.8, 5.0: 531.2}
+
+
+def build_predictors(fw_thres: int = 600):
+    from psignn_tpu.compat import convert_reference_checkpoint
+    from psignn_tpu.models import (DsgpsConfig, DssConfig, PsignnConfig,
+                                   dsgps_inference, dss_inference,
+                                   psignn_inference)
+
+    preds = {}
+    if os.path.exists(CKPTS["psignn"]):
+        out = convert_reference_checkpoint(CKPTS["psignn"], "psignn")
+        # benchmark settings: fw_thres 1000, fw_tol 1e-6 (spec_geo.py:292-293)
+        cfg = PsignnConfig(solver="broyden", fw_tol=1e-6, fw_thres=fw_thres,
+                           bw_thres=fw_thres)
+        p = out["params"]
+        preds["psignn"] = functools.partial(psignn_inference, p, cfg=cfg)
+    if os.path.exists(CKPTS["dsgps"]):
+        out = convert_reference_checkpoint(CKPTS["dsgps"], "dsgps")
+        cfg = DsgpsConfig(k=100)  # benchmark k→100 (spec_geo_2.py:268)
+        p = out["params"]
+        preds["dsgps"] = lambda g, p=p, cfg=cfg: dsgps_inference(p, g, cfg)
+    if os.path.exists(CKPTS["dss"]):
+        out = convert_reference_checkpoint(CKPTS["dss"], "dss")
+        cfg = DssConfig(k=30)
+        p = out["params"]
+        preds["dss"] = lambda g, p=p, cfg=cfg: dss_inference(p, g, cfg)
+    return preds
+
+
+def write_report(summary, path: str):
+    lines = ["# PARITY — converted reference checkpoints in psignn_tpu", ""]
+    lines.append("Reference models converted via `psignn_tpu.compat` and run "
+                 "through this framework's models/solvers on freshly "
+                 "generated meshes; baselines from BASELINE.md.")
+    lines.append("")
+    for name, per_radius in summary.items():
+        lines.append(f"## {name}")
+        lines.append("")
+        lines.append("| radius | nodes | MSE (ours) | MSE (reference) | "
+                     "nstep (ours) | nstep (ref) | time (s) |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for r in sorted(per_radius):
+            m = per_radius[r]
+            ref_mse = BASELINE_MSE.get(name, {}).get(r, float("nan"))
+            ref_ns = BASELINE_NSTEP.get(r, float("nan")) \
+                if name == "psignn" else float("nan")
+            lines.append(
+                "| {:.1f} | {:.0f} | {:.3e} | {:.3e} | {:.1f} | {} | {:.3f} |"
+                .format(r, m["n_nodes"], m["mse"], ref_mse, m["nstep"],
+                        ref_ns, m["time"]))
+        lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--radii", type=float, nargs="+", default=[0.6, 1.0])
+    p.add_argument("--n_meshes", type=int, default=3)
+    p.add_argument("--fw_thres", type=int, default=600)
+    p.add_argument("--out", type=str, default="PARITY.md")
+    p.add_argument("--families", type=str, nargs="+",
+                   default=["psignn", "dsgps", "dss"])
+    args = p.parse_args(argv)
+
+    from psignn_tpu.eval.sweep import growing_geometry_sweep
+
+    preds = build_predictors(args.fw_thres)
+    preds = {k: v for k, v in preds.items() if k in args.families}
+    if not preds:
+        print("no reference checkpoints found; skipping")
+        return
+    fams = ("psignn", "dss") if "dss" in preds else ("psignn",)
+    summary = growing_geometry_sweep(preds, radii=args.radii,
+                                     n_meshes=args.n_meshes, families=fams)
+    path = write_report(summary, args.out)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

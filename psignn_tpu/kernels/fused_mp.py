@@ -149,64 +149,78 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
     """Drop-in fused replacement for ``ops.message_passing``.
 
     ``mlp_params`` is the 2-layer Phi MLP [Linear(2D+edge_dim→Dh),
-    Linear(Dh→D)] with ReLU between, as in the reference."""
+    Linear(Dh→D)] with ReLU between, as in the reference.
+
+    Everything runs in a *transposed* layout — features on sublanes,
+    nodes/edges on lanes — so the dynamic window slice of h·W1b and the
+    per-sub-block edge slices land on 128-lane boundaries (Mosaic rejects
+    slicing a 10-wide feature axis against its 128-lane tiling).
+    """
     D = latent_dim
     w1 = mlp_params[0]["w"]
-    b1 = mlp_params[0]["b"].reshape(1, -1)
+    b1 = mlp_params[0]["b"]
     w2 = mlp_params[1]["w"]
-    b2 = mlp_params[1]["b"].reshape(1, -1)
+    b2 = mlp_params[1]["b"]
     w1a, w1b, w1c = w1[:D], w1[D:2 * D], w1[2 * D:]
     dh = w1.shape[1]
     d_out = w2.shape[1]
     edge_dim = w1.shape[0] - 2 * D
 
     hi_prec = jax.lax.Precision.HIGHEST
-    ha = jnp.dot(h, w1a, precision=hi_prec)
-    hb = jnp.dot(h, w1b, precision=hi_prec)
+    # pad the feature (sublane) dim to a multiple of 8 so VMEM slices of the
+    # transposed activations stay tile-aligned; zero rows are exact no-ops
+    dh_pad = -(-dh // 8) * 8
+    pad = dh_pad - dh
+    haT = jnp.pad(jnp.dot(h, w1a, precision=hi_prec).T,
+                  ((0, pad), (0, 0)))                # (Dh_pad, N)
+    hbT = jnp.pad(jnp.dot(h, w1b, precision=hi_prec).T,
+                  ((0, pad), (0, 0)))                # (Dh_pad, N)
+    w1cT = jnp.pad(w1c.T, ((0, pad), (0, 0)))        # (Dh_pad, edge_dim)
+    b1c = jnp.pad(b1.reshape(-1, 1), ((0, pad), (0, 0)))   # (Dh_pad, 1)
+    w2T = jnp.pad(w2.T, ((0, 0), (0, pad)))          # (D, Dh_pad)
+    b2c = b2.reshape(-1, 1)                          # (D, 1)
 
     n_blocks, e_cap = blocks.agg_local.shape
     n_sub = e_cap // BLOCK_E
     W = blocks.window
 
-    # reshape per-block edge arrays to (n_blocks, n_sub, BLOCK_E) so block
-    # shapes keep the Mosaic (8, 128)-tile divisibility on the last two dims
     aggl3 = blocks.agg_local.reshape(n_blocks, n_sub, BLOCK_E)
     othl3 = blocks.oth_local.reshape(n_blocks, n_sub, BLOCK_E)
     mask3 = blocks.mask.reshape(n_blocks, n_sub, BLOCK_E)
-    ea3 = blocks.edge_attr  # (n_blocks, e_cap, edge_dim)
+    eaT3 = jnp.swapaxes(blocks.edge_attr, 1, 2)      # (n_blocks, edge_dim, E_cap)
 
-    def kernel(ws_ref, ha_ref, aggl_ref, othl_ref, ea_ref, mask_ref,
-               w1c_ref, b1_ref, w2_ref, b2_ref, hb_ref, out_ref,
-               hb_win, sem):
+    def kernel(ws_ref, haT_ref, aggl_ref, othl_ref, eaT_ref, mask_ref,
+               w1cT_ref, b1_ref, w2T_ref, b2_ref, hbT_ref, outT_ref,
+               hbT_win, sem):
         i = pl.program_id(0)
         ws = ws_ref[i]
-        dma = pltpu.make_async_copy(hb_ref.at[pl.ds(ws, W), :], hb_win, sem)
+        dma = pltpu.make_async_copy(hbT_ref.at[:, pl.ds(ws, W)], hbT_win, sem)
         dma.start()
         dma.wait()
 
-        out_ref[:] = jnp.zeros_like(out_ref)
+        outT_ref[:] = jnp.zeros_like(outT_ref)
         f32 = jnp.float32
 
         def sub(s, _):
-            agg_l = aggl_ref[0, s]                        # (BE,)
-            oth_l = othl_ref[0, s]                        # (BE,)
-            m = mask_ref[0, s]                            # (BE,)
-            ea = ea_ref[0, pl.ds(s * BLOCK_E, BLOCK_E), :]  # (BE, edge_dim)
+            agg_l = aggl_ref[0, s]                      # (BE,)
+            oth_l = othl_ref[0, s]                      # (BE,)
+            m = mask_ref[0, s]                          # (BE,)
+            eaT = eaT_ref[0, :, pl.ds(s * BLOCK_E, BLOCK_E)]  # (edge_dim, BE)
 
             iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, BLOCK_E), 0)
-            S = (iota_n == agg_l[None, :]).astype(f32)      # (BN, BE)
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_E, W), 1)
-            G = (iota_w == oth_l[:, None]).astype(f32)      # (BE, W)
+            S = (iota_n == agg_l[None, :]).astype(f32)        # (BN, BE)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, BLOCK_E), 0)
+            GT = (iota_w == oth_l[None, :]).astype(f32)       # (W, BE)
 
-            xi = jnp.dot(S.T, ha_ref[:], preferred_element_type=f32)
-            xj = jnp.dot(G, hb_win[:], preferred_element_type=f32)
-            pre = (xi + xj
-                   + jnp.dot(ea, w1c_ref[:], preferred_element_type=f32)
-                   + b1_ref[0, :])
-            msg = (jnp.dot(jnp.maximum(pre, 0.0), w2_ref[:],
-                           preferred_element_type=f32) + b2_ref[0, :])
-            msg = msg * m[:, None]
-            out_ref[:] += jnp.dot(S, msg, preferred_element_type=f32)
+            xiT = jnp.dot(haT_ref[:], S, preferred_element_type=f32)
+            xjT = jnp.dot(hbT_win[:], GT, preferred_element_type=f32)
+            preT = (xiT + xjT
+                    + jnp.dot(w1cT_ref[:], eaT, preferred_element_type=f32)
+                    + b1_ref[:])
+            msgT = (jnp.dot(w2T_ref[:], jnp.maximum(preT, 0.0),
+                            preferred_element_type=f32) + b2_ref[:])
+            msgT = msgT * m[None, :]
+            outT_ref[:] += jnp.dot(msgT, S.T, preferred_element_type=f32)
             return 0
 
         jax.lax.fori_loop(0, n_sub, sub, 0)
@@ -215,27 +229,29 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((BLOCK_N, dh), lambda i, ws: (i, 0)),
+            pl.BlockSpec((dh_pad, BLOCK_N), lambda i, ws: (0, i)),  # haT blk
             pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
-            pl.BlockSpec((1, e_cap, edge_dim), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, edge_dim, e_cap), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1c
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # b2
-            pl.BlockSpec(memory_space=pl.ANY),       # hb (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1cT
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1 col
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2T
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b2 col
+            pl.BlockSpec(memory_space=pl.ANY),       # hbT (manual DMA)
         ],
-        out_specs=pl.BlockSpec((BLOCK_N, d_out), lambda i, ws: (i, 0)),
+        out_specs=pl.BlockSpec((d_out, BLOCK_N), lambda i, ws: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((W, dh), jnp.float32),
+            pltpu.VMEM((dh_pad, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    outT = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((blocks.n_node_cap, d_out),
+        out_shape=jax.ShapeDtypeStruct((d_out, blocks.n_node_cap),
                                        jnp.float32),
         interpret=interpret,
-    )(blocks.win_start, ha, aggl3, othl3, ea3, mask3, w1c, b1, w2, b2, hb)
+    )(blocks.win_start, haT, aggl3, othl3, eaT3, mask3,
+      w1cT, b1c, w2T, b2c, hbT)
+    return outT.T

@@ -227,7 +227,10 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
 # Broyden's method
 # ---------------------------------------------------------------------------
 
-_LR_BLOCK = 32  # rank-1 factors are stored in blocks of 32 steps
+# Rank-1 factors are stored in step-blocks: per-iteration HBM traffic is
+# ceil(nstep/_LR_BLOCK) blocks instead of the full threshold.  128 measured
+# best on v5e (steady-state within 4% of 32 at 4x less compile time).
+_LR_BLOCK = 128
 
 
 def _rmatvec(Us, VTs, x, nblocks):

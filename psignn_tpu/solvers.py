@@ -404,12 +404,42 @@ def newton(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-5,
                   keep_trace=keep_trace)
 
 
+def newton_krylov(f: Callable, x0: jax.Array, threshold: int = 50,
+                  eps: float = 1e-5, stop_mode: str = "rel",
+                  inner_iters: int = 20,
+                  keep_trace: bool = False) -> SolverResult:
+    """Jacobian-free Newton-Krylov: outer Newton steps with GMRES inner
+    solves whose matvec is a JVP of g(x) = f(x) − x.
+
+    The scalable replacement for the reference's dense-Jacobian ``newton``
+    (solver.py:349-366): no N·D × N·D materialization, only
+    ``inner_iters`` JVPs per outer step (BASELINE.json north star names
+    Newton-Krylov for the implicit solves)."""
+    from jax.scipy.sparse.linalg import gmres
+
+    shape = x0.shape
+
+    def g_root(z):
+        return f(z) - z
+
+    def newton_step(z):
+        gz = g_root(z)
+        _, jvp_fn = jax.linearize(g_root, z)
+        dz, _ = gmres(jvp_fn, -gz, x0=jnp.zeros_like(z),
+                      restart=inner_iters, maxiter=1, solve_method="batched")
+        return z + dz
+
+    return picard(newton_step, x0, threshold=threshold, eps=eps,
+                  keep_trace=keep_trace)
+
+
 SOLVERS = {
     "broyden": broyden,
     "anderson": anderson,
     "forward_iteration": picard,
     "picard": picard,
     "newton": newton,
+    "newton_krylov": newton_krylov,
 }
 
 

@@ -113,3 +113,42 @@ def test_anderson_divergent_tracks_best():
     out = anderson(f, jnp.zeros(shape), threshold=80, eps=1e-10)
     rel = np.asarray(out.rel_trace)
     assert float(out.lowest) <= rel[rel > 0].min() + 1e-12
+
+
+def test_newton_krylov_linear_and_nonlinear():
+    from psignn_tpu.solvers import newton_krylov
+    f, xstar, shape = make_linear(seed=7)
+    out = newton_krylov(f, jnp.zeros(shape), threshold=20, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out.result), xstar, rtol=1e-3,
+                               atol=1e-3)
+    # converges in very few outer steps on a linear problem
+    assert int(out.nstep) <= 5
+
+    rng = np.random.default_rng(8)
+    n, d = 8, 4
+    W = jnp.asarray(rng.normal(size=(n * d, n * d)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(n * d,)).astype(np.float32))
+
+    def fn(x):
+        return jnp.tanh(W @ x.reshape(-1) + b).reshape(n, d)
+
+    out = newton_krylov(fn, jnp.zeros((n, d)), threshold=30, eps=1e-9)
+    np.testing.assert_allclose(np.asarray(fn(out.result)),
+                               np.asarray(out.result), atol=1e-5)
+
+
+def test_newton_krylov_in_deq():
+    from psignn_tpu.deq import DEQConfig, fixed_point_forward
+    rng = np.random.default_rng(9)
+    Wm = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32) * 0.3)
+    params = {"W": Wm}
+
+    def f(p, h, h0, graph):
+        return jnp.tanh(h @ p["W"] + 0.2 * h0)
+
+    h0 = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    cfg = DEQConfig(solver="newton_krylov", fw_tol=1e-8, fw_thres=25)
+    out = fixed_point_forward(f, params, h0, None, cfg)
+    h = out.result
+    np.testing.assert_allclose(np.asarray(f(params, h, h0, None)),
+                               np.asarray(h), atol=1e-5)

@@ -182,6 +182,48 @@ def psignn_forward(params: Dict, graph: PaddedGraph, cfg: PsignnConfig,
     return PsignnOutput(u_final=u_final, losses=losses)
 
 
+def psignn_forward_stacked(params: Dict, stacked: PaddedGraph,
+                           cfg: PsignnConfig, rng: jax.Array,
+                           training: bool = True) -> PsignnOutput:
+    """Per-graph vmapped forward over a stacked batch (leading G axis).
+
+    The concatenated ``psignn_forward`` solves the whole batch jointly with
+    one residual norm (what the reference's collated Batch does per
+    replica); this variant vmaps the full DEQ per graph, so each mesh stops
+    at its own tolerance — under ``vmap`` the while_loop keeps stepping only
+    unconverged lanes' states via select, giving true per-graph adaptive
+    iteration counts (the reference gets this granularity only when
+    DataParallel happens to scatter one graph per replica).  Losses are
+    averaged over graphs (exactly DataParallel's replica-mean,
+    training_class.py:156-159).
+    """
+    n_graphs = stacked.x.shape[0]
+    keys = jax.random.split(rng, n_graphs)
+
+    def one(graph, key):
+        out = psignn_forward(params, graph, cfg, key, training=training)
+        return out
+
+    outs = jax.vmap(one)(stacked, keys)
+    losses = {k: jnp.mean(v) for k, v in outs.losses.items()}
+    losses["fw_nstep_per_graph"] = outs.losses["fw_nstep"]
+    return PsignnOutput(u_final=outs.u_final, losses=losses)
+
+
+def stack_single_graphs(samples, n_node_cap=None, n_edge_cap=None):
+    """Build a stacked PaddedGraph: each sample becomes its own padded
+    single-graph PaddedGraph; all are stacked on a new leading axis."""
+    from ..graphs import batch_graphs, bucket_size
+    if n_node_cap is None:
+        n_node_cap = bucket_size(max(s["x"].shape[0] for s in samples) + 1)
+    if n_edge_cap is None:
+        n_edge_cap = bucket_size(max(len(s["senders"]) for s in samples) + 1,
+                                 1024)
+    per = [batch_graphs([s], n_node_cap=n_node_cap, n_edge_cap=n_edge_cap)
+           for s in samples]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+
 def psignn_inference(params: Dict, graph: PaddedGraph, cfg: PsignnConfig):
     """Solve and decode, no losses (model.py:99-107). Returns (u, nstep,
     lowest)."""

@@ -198,3 +198,34 @@ def test_dsgps_training_reduces_loss(graph):
         params, state, l = step(params, state)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_psignn_stacked_matches_per_sample(data_dir):
+    """vmapped per-graph solve == solving each graph alone."""
+    from psignn_tpu.data.reader import load_dataset
+    from psignn_tpu.models.psignn import (psignn_forward_stacked,
+                                          stack_single_graphs)
+
+    samples = load_dataset(data_dir, family="psignn")[:3]
+    cfg = PsignnConfig(solver="forward_iteration", fw_tol=1e-4, fw_thres=25,
+                       bw_thres=25)
+    params = psignn_init(jax.random.PRNGKey(10), cfg)
+    stacked = stack_single_graphs(samples)
+    rng = jax.random.PRNGKey(11)
+    out = psignn_forward_stacked(params, stacked, cfg, rng)
+    assert out.u_final.shape[0] == 3
+    assert out.losses["fw_nstep_per_graph"].shape == (3,)
+
+    # per-sample oracle (same rngs as the vmap fold)
+    keys = jax.random.split(rng, 3)
+    per = []
+    for i in range(3):
+        g = jax.tree.map(lambda x: x[i], stacked)
+        per.append(psignn_forward(params, g, cfg, keys[i]))
+    res_mean = np.mean([float(p.losses["residual_loss"]) for p in per])
+    np.testing.assert_allclose(float(out.losses["residual_loss"]), res_mean,
+                               rtol=1e-5)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out.u_final[i]),
+                                   np.asarray(per[i].u_final),
+                                   rtol=1e-4, atol=1e-5)

@@ -266,9 +266,20 @@ class GraphLoader:
     n_node_cap: Optional[int] = None
     n_edge_cap: Optional[int] = None
     drop_last: bool = False
+    rcm: bool = False                 # RCM-permute each sample's nodes
+    pack_kernel_blocks: bool = False  # attach fused-MP edge packings
 
     def __post_init__(self):
         self._epoch = 0
+        if self.rcm:
+            from ..kernels import rcm_permutation
+            from ..kernels.fused_mp import apply_node_permutation
+            out = []
+            for s in self.samples:
+                perm = rcm_permutation(s["senders"], s["receivers"],
+                                       s["x"].shape[0])
+                out.append(apply_node_permutation(s, perm))
+            self.samples = out
         if self.n_node_cap is None:
             # one global cap across all batches → a single compiled shape
             max_nodes = max_edges = 0
@@ -296,4 +307,5 @@ class GraphLoader:
                 return
             chunk = [self.samples[j] for j in sel]
             yield batch_graphs(chunk, n_node_cap=self.n_node_cap,
-                               n_edge_cap=self.n_edge_cap)
+                               n_edge_cap=self.n_edge_cap,
+                               pack_kernel_blocks=self.pack_kernel_blocks)

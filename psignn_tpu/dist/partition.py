@@ -77,6 +77,118 @@ def partition_message_passing(mesh: Mesh, axis: str = "x") -> Callable:
     return mp
 
 
+def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
+                         edge_attr: np.ndarray, n_nodes: int,
+                         n_parts: int, halo: Optional[int] = None) -> dict:
+    """1-D spatial partition with halo metadata for ``halo_message_passing``.
+
+    Nodes must already be RCM-ordered (kernels.rcm_permutation) so that every
+    edge connects nodes within ``halo`` positions — then all cross-partition
+    edges touch only adjacent partitions and a strip exchange of width
+    ``halo`` with the left/right neighbors suffices (the ppermute halo
+    exchange of SURVEY.md §5.7, replacing the phase-1 full psum).
+
+    Returns per-partition edge arrays (leading axis ``n_parts``) with
+    aggregation indices local to the partition and source indices local to
+    the extended window [left halo | local | right halo].
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    bw = int(np.abs(senders - receivers).max()) if len(senders) else 1
+    n_loc = -(-n_nodes // n_parts)
+    n_loc = -(-n_loc // 8) * 8                 # sublane-friendly chunks
+    halo = halo or -(-bw // 8) * 8
+    if halo > n_loc:
+        raise ValueError(f"halo {halo} exceeds partition size {n_loc}; "
+                         "use fewer parts or re-order nodes (RCM)")
+    n_pad = n_loc * n_parts
+
+    keep = senders != receivers
+    s, r = senders[keep], receivers[keep]
+    ea = np.asarray(edge_attr)[keep]
+
+    out = {"n_loc": n_loc, "halo": halo, "n_parts": n_parts,
+           "n_nodes_pad": n_pad}
+    for direction in ("to", "from"):
+        agg = r if direction == "to" else s
+        oth = s if direction == "to" else r
+        part = agg // n_loc
+        counts = np.bincount(part, minlength=n_parts)
+        e_cap = max(8, int(-(-counts.max() // 8) * 8))
+        agg_l = np.zeros((n_parts, e_cap), np.int32)
+        oth_l = np.zeros((n_parts, e_cap), np.int32)
+        ea_p = np.zeros((n_parts, e_cap, ea.shape[1]), np.float32)
+        mask = np.zeros((n_parts, e_cap), np.float32)
+        fill = np.zeros(n_parts, np.int64)
+        for e in range(len(agg)):
+            p = part[e]
+            k = fill[p]
+            fill[p] += 1
+            agg_l[p, k] = agg[e] - p * n_loc
+            # extended-window index: [0, halo) = left halo strip
+            ext = oth[e] - (p * n_loc - halo)
+            if not (0 <= ext < n_loc + 2 * halo):
+                raise ValueError("edge exceeds halo window; increase halo")
+            oth_l[p, k] = ext
+            ea_p[p, k] = ea[e]
+            mask[p, k] = 1.0
+        out[direction] = dict(agg_local=agg_l, oth_local=oth_l,
+                              edge_attr=ea_p, mask=mask)
+    return out
+
+
+def halo_message_passing(mesh: Mesh, axis: str = "x") -> Callable:
+    """Directional message passing over a halo partition.
+
+    ``mp(mlp_params, h_parts, part, direction)`` where ``h_parts`` is
+    (n_parts, n_loc, D) sharded over ``axis`` and ``part`` is the output of
+    ``build_halo_partition`` (edge arrays sharded likewise).  Communication
+    is two neighbor ``ppermute`` strips of width ``halo`` per call —
+    O(halo·D) per device instead of the full psum of the phase-1 path.
+    """
+
+    def mp(mlp_params, h_parts, part_edges, n_loc: int, halo: int,
+           n_parts: int, direction: str):
+        ed = part_edges[direction]
+
+        def local(p, h, agg_l, oth_l, ea, m):
+            h = h.reshape(h.shape[1:])          # (n_loc, D)
+            agg_l = agg_l.reshape(agg_l.shape[1:])
+            oth_l = oth_l.reshape(oth_l.shape[1:])
+            ea = ea.reshape(ea.shape[1:])
+            m = m.reshape(m.shape[1:])
+
+            # halo exchange: my top strip goes to my right neighbor's left
+            # halo; my bottom strip to my left neighbor's right halo.
+            fwd = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+            bwd = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+            left = jax.lax.ppermute(h[-halo:], axis, fwd)   # from left nbr
+            right = jax.lax.ppermute(h[:halo], axis, bwd)   # from right nbr
+            idx = jax.lax.axis_index(axis)
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_parts - 1,
+                              jnp.zeros_like(right), right)
+            h_ext = jnp.concatenate([left, h, right], axis=0)
+
+            xi = jnp.take(h, agg_l, axis=0)
+            xj = jnp.take(h_ext, oth_l, axis=0)
+            feats = jnp.concatenate([xi, xj, ea], axis=-1)
+            msg = mlp_apply(p, feats) * m[:, None]
+            out = jax.ops.segment_sum(msg, agg_l, num_segments=h.shape[0])
+            return out[None]
+
+        P_ = P
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P_(), P_(axis), P_(axis), P_(axis), P_(axis), P_(axis)),
+            out_specs=P_(axis), check_vma=False)(
+                mlp_params, h_parts,
+                jnp.asarray(ed["agg_local"]), jnp.asarray(ed["oth_local"]),
+                jnp.asarray(ed["edge_attr"]), jnp.asarray(ed["mask"]))
+
+    return mp
+
+
 def partition_spmv(mesh: Mesh, axis: str = "x") -> Callable:
     """Edge-sharded sparse A @ u (full COO incl. diagonal), psum-reduced."""
 

@@ -193,7 +193,7 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
                w1cT_ref, b1_ref, w2T_ref, b2_ref, hbT_ref, outT_ref,
                hbT_win, sem):
         i = pl.program_id(0)
-        ws = ws_ref[i]
+        ws = pl.multiple_of(ws_ref[i], BLOCK_N)  # pack quantizes win_start
         dma = pltpu.make_async_copy(hbT_ref.at[:, pl.ds(ws, W)], hbT_win, sem)
         dma.start()
         dma.wait()

@@ -1,0 +1,93 @@
+"""Halo-exchange partition parallelism vs the single-device oracle."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psignn_tpu import ops
+from psignn_tpu.dist import make_mesh
+from psignn_tpu.dist.partition import (build_halo_partition,
+                                       halo_message_passing)
+from psignn_tpu.graphs import batch_graphs
+from psignn_tpu.kernels import rcm_permutation
+from psignn_tpu.nn import mlp_init
+
+
+def banded_graph(n, bw, seed=0):
+    """Banded (RCM-like) random graph with symmetric structure."""
+    rng = np.random.default_rng(seed)
+    s, r = [], []
+    for i in range(n):
+        for j in range(max(0, i - bw), min(n, i + bw + 1)):
+            if rng.uniform() < 0.5 or j == i:
+                s.append(i)
+                r.append(j)
+    s = np.array(s, np.int32)
+    r = np.array(r, np.int32)
+    ea = rng.normal(size=(len(s), 3)).astype(np.float32)
+    return s, r, ea
+
+
+@pytest.mark.parametrize("direction", ["to", "from"])
+def test_halo_mp_matches_single_device(direction):
+    n_parts = 4
+    n = 256
+    s, r, ea = banded_graph(n, bw=5)
+    part = build_halo_partition(s, r, ea, n, n_parts)
+    n_loc, halo = part["n_loc"], part["halo"]
+    assert n_loc * n_parts >= n
+
+    D = 6
+    params = mlp_init(jax.random.PRNGKey(0), [2 * D + 3, D, D])
+    h_full = jax.random.normal(jax.random.PRNGKey(1),
+                               (part["n_nodes_pad"], D))
+    h_parts = h_full.reshape(n_parts, n_loc, D)
+
+    mesh = make_mesh(n_parts, axis="x")
+    mp = halo_message_passing(mesh, axis="x")
+    got = mp(params, h_parts, part, n_loc, halo, n_parts, direction)
+    got = np.asarray(got).reshape(-1, D)
+
+    # single-device oracle on the same (padded) node space
+    sample = dict(
+        x=np.zeros((part["n_nodes_pad"], 1), np.float32),
+        b=np.zeros((part["n_nodes_pad"], 1), np.float32),
+        sol=np.zeros((part["n_nodes_pad"], 1), np.float32),
+        prb_data=np.zeros((part["n_nodes_pad"], 2), np.float32),
+        tags=np.zeros((part["n_nodes_pad"], 1), np.float32),
+        pos=np.zeros((part["n_nodes_pad"], 2), np.float32),
+        senders=s, receivers=r, a_ij=np.ones((len(s), 1), np.float32),
+        edge_attr=ea)
+    g = batch_graphs([sample], n_node_cap=max(256, part["n_nodes_pad"]),
+                     n_edge_cap=4096)
+    want = np.asarray(ops.message_passing(params, h_full if
+                                          g.n_node_cap == part["n_nodes_pad"]
+                                          else jnp.pad(h_full, ((0, g.n_node_cap - part["n_nodes_pad"]), (0, 0))),
+                                          g, direction))
+    np.testing.assert_allclose(got, want[:part["n_nodes_pad"]],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_partition_on_real_mesh():
+    """RCM-ordered FEM mesh partitions with a small halo."""
+    from psignn_tpu.data.fem import assemble_p1
+    from psignn_tpu.data.meshgen import blob_mesh
+    import scipy.sparse as sp
+
+    mesh = blob_mesh(radius=1.0, hsize=0.12, seed=3)
+    A, _ = assemble_p1(mesh, lambda x, y: np.zeros_like(x))
+    c = sp.find(A)
+    s, r = c[0].astype(np.int32), c[1].astype(np.int32)
+    perm = rcm_permutation(s, r, mesh.n_points)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    s2, r2 = inv[s].astype(np.int32), inv[r].astype(np.int32)
+    ea = np.random.default_rng(0).normal(size=(len(s), 3)).astype(np.float32)
+
+    part = build_halo_partition(s2, r2, ea, mesh.n_points, n_parts=4)
+    # halo is much smaller than a partition (bandwidth-limited)
+    assert part["halo"] < part["n_loc"]
+    assert part["halo"] < mesh.n_points // 4

@@ -70,6 +70,11 @@ def get_parser() -> argparse.ArgumentParser:
     # data-parallel
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices; shard_map DP when > 1")
+    # TPU kernel path
+    p.add_argument("--rcm", action="store_true",
+                   help="RCM-permute each sample (small kernel windows)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas message-passing kernels (implies --rcm)")
     return p
 
 
@@ -97,13 +102,25 @@ def main(argv=None):
         shutil.rmtree(args.path_results)
     os.makedirs(args.path_results, exist_ok=True)
 
+    dtype = {"float32": np.float32, "bfloat16": "bfloat16"}[args.precision]
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
     samples = load_dataset(args.path_dataset, family=args.family,
-                           variant=args.variant, stats=args.stats)
+                           variant=args.variant, stats=args.stats,
+                           dtype=dtype)
     train, val, test = split_dataset(samples, family=args.family,
                                      variant=args.variant, seed=args.seed)
+    if args.pallas:
+        os.environ["PSIGNN_TPU_PALLAS"] = "1"
+        from psignn_tpu import ops
+        ops.USE_PALLAS_MP = True
+    rcm = args.rcm or args.pallas
     loader_train = GraphLoader(train, batch_size=args.batch_size,
-                               shuffle=True, seed=args.seed)
-    loader_val = GraphLoader(val, batch_size=args.batch_size)
+                               shuffle=True, seed=args.seed, rcm=rcm,
+                               pack_kernel_blocks=args.pallas)
+    loader_val = GraphLoader(val, batch_size=args.batch_size, rcm=rcm,
+                             pack_kernel_blocks=args.pallas)
 
     cfg = TrainConfig(
         family=args.family, model_cfg=build_model_cfg(args),

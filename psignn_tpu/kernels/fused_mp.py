@@ -45,7 +45,12 @@ def rcm_permutation(senders: np.ndarray, receivers: np.ndarray,
     small; apply with ``apply_node_permutation``."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
-    A = sp.coo_matrix((np.ones(len(senders)), (senders, receivers)),
+    # symmetrize the pattern: Dirichlet rows of the assembled system are
+    # identity rows (columns keep their entries), and RCM's BFS cannot
+    # traverse out of such sinks — ordering quality collapses without this
+    rows = np.concatenate([senders, receivers])
+    cols = np.concatenate([receivers, senders])
+    A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
                       shape=(n_nodes, n_nodes)).tocsr()
     return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
 

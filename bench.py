@@ -22,43 +22,39 @@ import numpy as np
 REF_EDGES_PER_S = 531.2 * 2 * 77_588 / 3.18  # ≈ 25.9e6, see module docstring
 
 
-def build_big_graph(radius=5.0, hsize=0.08, seed=0):
-    import scipy.sparse as sp
+def build_big_graph(radius=5.0, hsize=0.08, seed=0, pallas=False):
     from psignn_tpu.data.fem import solve_poisson
     from psignn_tpu.data.meshgen import blob_mesh
-    from psignn_tpu.data.reader import REF_STATS
+    from psignn_tpu.data.reader import psignn_sample_from_fem
     from psignn_tpu.graphs import batch_graphs
 
     rng = np.random.default_rng(seed)
     mesh = blob_mesh(radius=radius, hsize=hsize, rng=rng)
-    s = solve_poisson(mesh, radius, rng)
-    st = REF_STATS[("dirichlet", "psignn")]
-    c = sp.find(s["A"])
-    ea = ((s["distance"] - np.array(st["dist_mean"]))
-          / np.array(st["dist_std"])).astype(np.float32)
-    prb = ((s["prb_data"] - np.array(st["prb_mean"]))
-           / np.array(st["prb_std"])).astype(np.float32)
-    x = np.zeros_like(s["sol"], dtype=np.float32)
-    bnd = s["tags"][:, 0] == 1
-    x[bnd] = s["b"][bnd]
-    sample = dict(
-        x=x, b=s["b"].astype(np.float32), sol=s["sol"].astype(np.float32),
-        prb_data=prb, tags=s["tags"].astype(np.float32),
-        pos=s["coordinates"].astype(np.float32),
-        senders=c[0].astype(np.int32), receivers=c[1].astype(np.int32),
-        a_ij=c[2].reshape(-1, 1).astype(np.float32), edge_attr=ea)
-    n_edges = len(c[0])
-    return batch_graphs([sample]), mesh.n_points, n_edges
+    sample = psignn_sample_from_fem(solve_poisson(mesh, radius, rng))
+    if pallas:
+        from psignn_tpu.kernels import rcm_permutation
+        from psignn_tpu.kernels.fused_mp import apply_node_permutation
+        perm = rcm_permutation(sample["senders"], sample["receivers"],
+                               len(sample["x"]))
+        sample = apply_node_permutation(sample, perm)
+    n_edges = len(sample["senders"])
+    g = batch_graphs([sample], pack_kernel_blocks=pallas)
+    return g, mesh.n_points, n_edges
 
 
 def main():
+    import os
     import jax
+    from psignn_tpu import ops
     from psignn_tpu.deq import fixed_point_forward
     from psignn_tpu.models import PsignnConfig, psignn_init
     from psignn_tpu.models.psignn import encoder_apply, make_function
 
+    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "1") == "1"
+    ops.USE_PALLAS_MP = ops.USE_PALLAS_MP or use_pallas
+
     nstep = 531
-    graph, n_nodes, n_edges = build_big_graph()
+    graph, n_nodes, n_edges = build_big_graph(pallas=use_pallas)
 
     cfg = PsignnConfig(solver="broyden", fw_tol=0.0, fw_thres=nstep)
     params = psignn_init(jax.random.PRNGKey(0), cfg)
@@ -95,7 +91,7 @@ def main():
         "detail": {
             "n_nodes": int(n_nodes), "n_edges": int(n_edges),
             "iters": int(iters), "wall_s": round(dt, 4),
-            "solver": "broyden",
+            "solver": "broyden", "pallas_mp": bool(use_pallas),
             "baseline_edges_per_s": round(REF_EDGES_PER_S, 1),
         },
     }))

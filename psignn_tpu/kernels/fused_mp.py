@@ -148,9 +148,52 @@ def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
         win_start=jnp.asarray(win_start), window=W, n_node_cap=n_node_cap)
 
 
+def mp_from_blocks(mlp_params: List[Params], h: jax.Array,
+                   blocks: MPBlocks) -> jax.Array:
+    """Pure-XLA evaluation of the exact same math as the fused kernel,
+    reconstructed from the packed block data (used as the differentiation
+    oracle for the kernel's custom VJP and in tests)."""
+    from ..nn import mlp_apply
+    n_blocks, e_cap = blocks.agg_local.shape
+    blk = jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+    agg = (blk * BLOCK_N + blocks.agg_local).reshape(-1)
+    oth = (blocks.win_start[:, None] + blocks.oth_local).reshape(-1)
+    ea = blocks.edge_attr.reshape(-1, blocks.edge_attr.shape[-1])
+    m = blocks.mask.reshape(-1)
+    xi = jnp.take(h, agg, axis=0)
+    xj = jnp.take(h, oth, axis=0)
+    msg = mlp_apply(mlp_params, jnp.concatenate([xi, xj, ea], axis=-1))
+    msg = msg * m[:, None]
+    return jax.ops.segment_sum(msg, agg, num_segments=blocks.n_node_cap)
+
+
 def fused_message_passing(mlp_params: List[Params], h: jax.Array,
                           blocks: MPBlocks, latent_dim: int,
                           interpret: bool = False) -> jax.Array:
+    """Differentiable fused message passing: Pallas MXU kernel forward,
+    XLA-recompute backward (custom_vjp; a dedicated backward kernel is a
+    planned optimization)."""
+
+    @jax.custom_vjp
+    def _mp(params, hh):
+        return _fused_mp_kernel(params, hh, blocks, latent_dim, interpret)
+
+    def _fwd(params, hh):
+        return _mp(params, hh), (params, hh)
+
+    def _bwd(res, g):
+        params, hh = res
+        _, vjp_fn = jax.vjp(lambda p, x: mp_from_blocks(p, x, blocks),
+                            params, hh)
+        return vjp_fn(g)
+
+    _mp.defvjp(_fwd, _bwd)
+    return _mp(mlp_params, h)
+
+
+def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
+                     blocks: MPBlocks, latent_dim: int,
+                     interpret: bool = False) -> jax.Array:
     """Drop-in fused replacement for ``ops.message_passing``.
 
     ``mlp_params`` is the 2-layer Phi MLP [Linear(2D+edge_dim→Dh),

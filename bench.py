@@ -50,7 +50,12 @@ def main():
     from psignn_tpu.models import PsignnConfig, psignn_init
     from psignn_tpu.models.psignn import encoder_apply, make_function
 
-    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "1") == "1"
+    # The fused Pallas MP kernel measures 2.19x over take+segment_sum in
+    # isolation (see docs/PERF.md), but compiling the full 531-step broyden
+    # program with in-loop pallas_calls exceeds 10 min on this remote-compile
+    # setup, so the default bench path stays on XLA ops; flip the env var to
+    # benchmark the kernel path where compile time is not a constraint.
+    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "0") == "1"
     ops.USE_PALLAS_MP = ops.USE_PALLAS_MP or use_pallas
 
     nstep = 531

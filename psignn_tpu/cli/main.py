@@ -75,6 +75,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="RCM-permute each sample (small kernel windows)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas message-passing kernels (implies --rcm)")
+    p.add_argument("--cache_batches", type=int, default=1,
+                   help="pre-build batches and keep them on device (epochs "
+                        "reshuffle batch order, not membership)")
     return p
 
 
@@ -118,9 +121,11 @@ def main(argv=None):
     rcm = args.rcm or args.pallas
     loader_train = GraphLoader(train, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, rcm=rcm,
-                               pack_kernel_blocks=args.pallas)
+                               pack_kernel_blocks=args.pallas,
+                               cache_batches=bool(args.cache_batches))
     loader_val = GraphLoader(val, batch_size=args.batch_size, rcm=rcm,
-                             pack_kernel_blocks=args.pallas)
+                             pack_kernel_blocks=args.pallas,
+                             cache_batches=bool(args.cache_batches))
 
     cfg = TrainConfig(
         family=args.family, model_cfg=build_model_cfg(args),

@@ -268,9 +268,16 @@ class GraphLoader:
     drop_last: bool = False
     rcm: bool = False                 # RCM-permute each sample's nodes
     pack_kernel_blocks: bool = False  # attach fused-MP edge packings
+    # Build all batches once and keep them on device.  Removes the per-step
+    # host->device upload (dominant on remote-device tunnels) at the cost of
+    # fixed batch composition: epochs reshuffle batch ORDER, not membership
+    # (the reference reshuffles samples per epoch; composition is frozen
+    # after the first shuffle here).
+    cache_batches: bool = False
 
     def __post_init__(self):
         self._epoch = 0
+        self._cached = None
         if self.rcm:
             from ..kernels import rcm_permutation
             from ..kernels.fused_mp import apply_node_permutation
@@ -296,11 +303,27 @@ class GraphLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[PaddedGraph]:
+        if self.cache_batches:
+            if self._cached is None:
+                import jax
+                self._cached = [
+                    jax.tree.map(jax.device_put, g)
+                    for g in self._build_epoch(self.seed)]
+            order = np.arange(len(self._cached))
+            if self.shuffle:
+                np.random.RandomState(self.seed + self._epoch).shuffle(order)
+            self._epoch += 1
+            for i in order:
+                yield self._cached[i]
+            return
+        self._epoch += 1
+        yield from self._build_epoch(self.seed + self._epoch - 1)
+
+    def _build_epoch(self, shuffle_seed: int) -> Iterator[PaddedGraph]:
         order = np.arange(len(self.samples))
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
+            rng = np.random.RandomState(shuffle_seed)
             rng.shuffle(order)
-        self._epoch += 1
         for i in range(0, len(self.samples), self.batch_size):
             sel = order[i:i + self.batch_size]
             if self.drop_last and len(sel) < self.batch_size:

@@ -269,15 +269,15 @@ class Trainer:
                         epoch, *(self.hist_val[k][-1] for k in LOSS_KEYS)))
 
     def _collect(self, loss, aux) -> Dict[str, float]:
-        get = lambda k: float(aux[k]) if k in aux else 0.0
-        return {
-            "loss": float(loss),
-            "residual_loss": get("residual_loss"),
-            "jacobian_loss": get("jacobian_loss"),
-            "encoder_loss": get("encoder_loss"),
-            "autoencoder_loss": get("autoencoder_loss"),
-            "mse_loss": get("mse_loss"),
-        }
+        # one stacked device->host fetch instead of seven scalar roundtrips
+        # (they dominate step time on remote-device tunnels)
+        keys = ["residual_loss", "jacobian_loss", "encoder_loss",
+                "autoencoder_loss", "mse_loss"]
+        vec = np.asarray(jnp.stack(
+            [loss] + [aux.get(k, jnp.zeros(())) for k in keys]))
+        out = {"loss": float(vec[0])}
+        out.update({k: float(v) for k, v in zip(keys, vec[1:])})
+        return out
 
     # ------------------------------------------------------------- main train
 

@@ -203,38 +203,56 @@ class Trainer:
     def train_loop(self, epoch: int):
         c = self.c
         accum = {k: 0.0 for k in LOSS_KEYS}
-        run = {k: 0.0 for k in LOSS_KEYS}
-        cumul = 0
         n_batches = len(self.loader_train)
         lr1 = self.sched_deq.lr if self.family == "psignn" else c.lr
         lr2 = self.sched_ae.lr if self.family == "psignn" else 0.0
         marks = {math.ceil(f * n_batches) for f in (0.25, 0.5, 0.75)}
+
+        # Device-side metric buffers, fetched only at the 25/50/75 % marks
+        # and epoch end — per-batch scalar fetches each pay a full tunnel
+        # round trip and stall the dispatch pipeline.
+        pending = []          # list of (metric_vec, fw_vec|None)
+
+        def flush():
+            if not pending:
+                return {k: 0.0 for k in LOSS_KEYS}, 0
+            vecs = np.asarray(jnp.stack([p[0] for p in pending]))
+            fw = [p[1] for p in pending if p[1] is not None]
+            if fw:
+                fw_host = np.asarray(jnp.stack(fw))
+                with open(os.path.join(self.path_logs,
+                                       "forward_iteration.csv"), "a") as f:
+                    for lo, ns in fw_host:
+                        f.write("\n{} \t {}".format(float(lo), int(ns)))
+            sums = vecs.sum(axis=0)
+            n = len(pending)
+            pending.clear()
+            return {k: float(v) for k, v in zip(LOSS_KEYS, sums)}, n
 
         for i, graph in enumerate(self.loader_train):
             rng = self._next_rng()
             self.params, self.opt_state, loss, aux, gnorm, grads = \
                 self._train_step(self.params, self.opt_state, graph, rng,
                                  lr1, lr2)
-            vals = self._collect(loss, aux)
-            for k in LOSS_KEYS:
-                accum[k] += vals[k]
-                run[k] += vals[k]
-            cumul += 1
-            if "fw_lowest" in aux:
-                with open(os.path.join(self.path_logs,
-                                       "forward_iteration.csv"), "a") as f:
-                    f.write("\n{} \t {}".format(float(aux["fw_lowest"]),
-                                                int(aux["fw_nstep"])))
-            if i in marks and cumul:
+            vec = jnp.stack([loss] + [aux.get(k, jnp.zeros(()))
+                                      for k in LOSS_KEYS[1:]])
+            fw = (jnp.stack([aux["fw_lowest"], aux["fw_nstep"]])
+                  if "fw_lowest" in aux else None)
+            pending.append((vec, fw))
+            if i in marks:
+                run, cumul = flush()
+                for k in LOSS_KEYS:
+                    accum[k] += run[k]
                 with open(os.path.join(self.path_logs,
                                        "train_metrics.csv"), "a") as f:
                     f.write("\nEpoch {}, {:d}% \t Loss : {:.4e} \t Res : {:.4e}"
                             " \t Jac : {:.4e} \t Enc : {:.4e} \t AEnc : {:.4e}"
                             " \t MSE : {:.4e}".format(
                                 epoch, int(i * 100 / n_batches),
-                                *(run[k] / cumul for k in LOSS_KEYS)))
-                run = {k: 0.0 for k in LOSS_KEYS}
-                cumul = 0
+                                *(run[k] / max(cumul, 1) for k in LOSS_KEYS)))
+        run, _ = flush()
+        for k in LOSS_KEYS:
+            accum[k] += run[k]
         self._last_grad_norms = {
             "/".join(str(p) for p in path): float(jnp.linalg.norm(g.reshape(-1)))
             for path, g in _flatten_with_paths(grads)}
@@ -248,18 +266,22 @@ class Trainer:
                         epoch, *(self.hist_train[k][-1] for k in LOSS_KEYS)))
 
     def validation_loop(self, epoch: int):
-        accum = {k: 0.0 for k in LOSS_KEYS}
         n_batches = len(self.loader_val)
+        vecs, srads = [], []
         for graph in self.loader_val:
             rng = self._next_rng()
             loss, aux = self._val_step(self.params, graph, rng)
-            vals = self._collect(loss, aux)
-            for k in LOSS_KEYS:
-                accum[k] += vals[k]
+            vecs.append(jnp.stack([loss] + [aux.get(k, jnp.zeros(()))
+                                            for k in LOSS_KEYS[1:]]))
             if "sradius" in aux and self.c.val_sradius:
-                with open(os.path.join(self.path_logs,
-                                       "spectral_radius.csv"), "a") as f:
-                    f.write("\n{}".format(float(aux["sradius"])))
+                srads.append(aux["sradius"])
+        sums = np.asarray(jnp.stack(vecs)).sum(axis=0)
+        accum = {k: float(v) for k, v in zip(LOSS_KEYS, sums)}
+        if srads:
+            with open(os.path.join(self.path_logs,
+                                   "spectral_radius.csv"), "a") as f:
+                for s in np.asarray(jnp.stack(srads)):
+                    f.write("\n{}".format(float(s)))
         for k in LOSS_KEYS:
             self.hist_val[k].append(accum[k] / n_batches)
         with open(os.path.join(self.path_logs, "train_metrics.csv"), "a") as f:

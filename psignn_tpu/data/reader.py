@@ -310,7 +310,9 @@ class GraphLoader:
                     jax.tree.map(jax.device_put, g)
                     for g in self._build_epoch(self.seed)]
             order = np.arange(len(self._cached))
-            if self.shuffle:
+            # first epoch preserves build order (== the uncached loader);
+            # later epochs reshuffle batch order
+            if self.shuffle and self._epoch > 0:
                 np.random.RandomState(self.seed + self._epoch).shuffle(order)
             self._epoch += 1
             for i in order:

@@ -20,6 +20,7 @@ Reference semantics being reproduced:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List
 
 import jax
@@ -27,6 +28,8 @@ import jax.numpy as jnp
 
 from .graphs import PaddedGraph
 from .nn import Params, mlp_apply
+
+USE_PALLAS_MP = os.environ.get("PSIGNN_TPU_PALLAS", "0") == "1"
 
 
 def gather_concat(h: jax.Array, graph: PaddedGraph, direction: str) -> jax.Array:
@@ -40,11 +43,6 @@ def gather_concat(h: jax.Array, graph: PaddedGraph, direction: str) -> jax.Array
     else:
         raise ValueError(direction)
     return jnp.concatenate([xi, xj, graph.edge_attr], axis=-1)
-
-
-import os
-
-USE_PALLAS_MP = os.environ.get("PSIGNN_TPU_PALLAS", "0") == "1"
 
 
 def message_passing(mlp_params: List[Params], h: jax.Array,

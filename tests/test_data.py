@@ -130,3 +130,24 @@ def test_graph_loader_batching(tiny_dataset):
     # shuffling differs across epochs
     b1 = list(loader)[0]
     assert b1.n_node_cap == batches[0].n_node_cap
+
+
+def test_graph_loader_cache_batches(tiny_dataset):
+    from psignn_tpu.data.reader import load_dataset, GraphLoader
+    import numpy as np
+    samples = load_dataset(tiny_dataset, family="psignn")
+    loader = GraphLoader(samples, batch_size=4, shuffle=True, seed=0,
+                         cache_batches=True)
+    e1 = list(loader)
+    e2 = list(loader)
+    assert len(e1) == len(e2) == 3
+    # membership frozen: the set of batch objects is identical, order may differ
+    ids1 = {id(b) for b in e1}
+    ids2 = {id(b) for b in e2}
+    assert ids1 == ids2
+    # contents match an uncached loader built with the same seed
+    plain = GraphLoader(samples, batch_size=4, shuffle=True, seed=0)
+    p1 = list(plain)
+    for a, b in zip(e1, p1):
+        np.testing.assert_array_equal(np.asarray(a.n_nodes),
+                                      np.asarray(b.n_nodes))

@@ -166,3 +166,95 @@ def test_converted_models_run_end_to_end(tmp_path):
     out = convert_reference_checkpoint(DSS_CKPT, "dss")
     u = dss_inference(out["params"], gd, DssConfig(k=30))
     assert np.isfinite(np.asarray(u)).all()
+
+
+def _numpy_reference_psignn_function(sd, h, h0, senders, receivers, ea, prb,
+                                     dmask):
+    """Hand-rolled numpy forward of the reference Function (one layer):
+    two directional MPs + sigmoid gate + gated update MLP + LayerNorm +
+    hard Dirichlet reset (dirichlet/psignn/model.py:279-300)."""
+    def lin(prefix, x):
+        w = sd[prefix + ".weight"].numpy()
+        b = sd[prefix + ".bias"].numpy()
+        return x @ w.T + b
+
+    def mlp2(prefix, x):
+        return lin(prefix + ".2", np.maximum(lin(prefix + ".0", x), 0.0))
+
+    def mp(prefix, agg_at):
+        out = np.zeros_like(h)
+        for e in range(len(senders)):
+            i, j = senders[e], receivers[e]
+            if i == j:
+                continue
+            if agg_at == "col":
+                xi, xj, tgt = h[j], h[i], j
+            else:
+                xi, xj, tgt = h[i], h[j], i
+            feats = np.concatenate([xi, xj, ea[e]])[None]
+            out[tgt] += mlp2(prefix, feats)[0]
+        return out
+
+    mp_to = mp("deqdss.f.phi_to_list.0.mlp.mlp", "col")
+    mp_from = mp("deqdss.f.phi_from_list.0.mlp.mlp", "row")
+    concat = np.concatenate([h, mp_to, mp_from, prb], axis=1)
+    alpha = 1.0 / (1.0 + np.exp(-lin("deqdss.f.alpha.0", concat)))
+    update = alpha * mlp2("deqdss.f.update_list.0.mlp", concat)
+    hn = h + update
+    mu = hn.mean(axis=1, keepdims=True)
+    var = ((hn - mu) ** 2).mean(axis=1, keepdims=True)
+    g = sd["deqdss.f.laynorm.weight"].numpy()
+    bln = sd["deqdss.f.laynorm.bias"].numpy()
+    hn = (hn - mu) / np.sqrt(var + 1e-5) * g + bln
+    hn[dmask] = h0[dmask]
+    return hn
+
+
+@needs_ref
+def test_psignn_function_activation_parity():
+    """Our jax Function == numpy re-execution of the reference architecture
+    with the trained checkpoint weights."""
+    import jax.numpy as jnp
+    from psignn_tpu.compat import (convert_reference_checkpoint,
+                                   load_reference_checkpoint)
+    from psignn_tpu.graphs import batch_graphs
+    from psignn_tpu.models import PsignnConfig
+    from psignn_tpu.models.psignn import make_function, encoder_apply
+
+    ck = load_reference_checkpoint(PSIGNN_CKPT)
+    sd = ck["state_dict"]
+    out = convert_reference_checkpoint(PSIGNN_CKPT, "psignn")
+    params = out["params"]
+
+    rng = np.random.default_rng(1)
+    n = 20
+    dense = np.zeros((n, n), np.float32)
+    for i in range(n):
+        dense[i, i] = 1.0
+        for j in rng.choice(n, 3, replace=False):
+            dense[i, j] = rng.normal()
+            dense[j, i] = dense[i, j]
+    s, r = np.nonzero(dense)
+    tags = (rng.uniform(size=(n, 1)) < 0.3).astype(np.float32)
+    sample = dict(
+        x=rng.normal(size=(n, 1)).astype(np.float32),
+        b=rng.normal(size=(n, 1)).astype(np.float32),
+        sol=rng.normal(size=(n, 1)).astype(np.float32),
+        prb_data=rng.normal(size=(n, 2)).astype(np.float32),
+        tags=tags, pos=np.zeros((n, 2), np.float32),
+        senders=s.astype(np.int32), receivers=r.astype(np.int32),
+        a_ij=dense[s, r].reshape(-1, 1),
+        edge_attr=rng.normal(size=(len(s), 3)).astype(np.float32))
+    g = batch_graphs([sample])
+
+    cfg = PsignnConfig()
+    f = make_function(cfg)
+    h0 = np.asarray(encoder_apply(params["autoencoder"], g.x) * g.fnode_mask)
+    h_jax = np.asarray(f(params["function"], jnp.asarray(h0),
+                         jnp.asarray(h0), g))
+
+    dmask = tags[:, 0] == 1
+    h_np = _numpy_reference_psignn_function(
+        sd, h0[:n], h0[:n], s, r, sample["edge_attr"], sample["prb_data"],
+        dmask)
+    np.testing.assert_allclose(h_jax[:n], h_np, rtol=2e-4, atol=2e-5)

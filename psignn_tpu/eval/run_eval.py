@@ -54,6 +54,8 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="")
     p.add_argument("--sweep", action="store_true",
                    help="also run the growing-geometry radius sweep")
+    p.add_argument("--zoo", action="store_true",
+                   help="also run the OOD geometry-zoo evaluation")
     p.add_argument("--radii", type=float, nargs="+",
                    default=[0.6, 1.0, 2.0, 4.0, 5.0])
     p.add_argument("--n_meshes", type=int, default=3)
@@ -80,12 +82,20 @@ def main(argv=None):
         with open(os.path.join(args.out, "test_metrics.json"), "w") as f:
             json.dump(results, f, indent=2)
 
+    fams = ("psignn", "dss") if family == "dss" else ("psignn",)
     if args.sweep:
-        fams = ("psignn", "dss") if family == "dss" else ("psignn",)
         summary = growing_geometry_sweep(
             {family: predict}, radii=args.radii, n_meshes=args.n_meshes,
             out_dir=args.out or None, families=fams)
         print(json.dumps(summary, indent=2, default=float))
+
+    if args.zoo:
+        from psignn_tpu.eval.sweep import geometry_zoo_eval
+        zoo = geometry_zoo_eval({family: predict}, families=fams)
+        print(json.dumps(zoo, indent=2, default=float))
+        if args.out:
+            with open(os.path.join(args.out, "geometry_zoo.json"), "w") as f:
+                json.dump(zoo, f, indent=2, default=float)
 
 
 if __name__ == "__main__":

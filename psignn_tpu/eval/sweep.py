@@ -129,6 +129,25 @@ def growing_geometry_sweep(
     return summary
 
 
+def geometry_zoo_eval(predictors: Dict[str, Callable], hsize: float = 0.08,
+                      seed: int = 0, shapes: Optional[Sequence[str]] = None,
+                      families=("psignn",)) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Out-of-distribution generalization over the geometry zoo
+    (the tests/special_geo studies): FEM-solve each shape fresh and run
+    every predictor. Returns {shape: {model: metrics}}."""
+    from .geometries import GEOMETRY_BUILDERS, build_geometry
+
+    rng = np.random.default_rng(seed)
+    shapes = shapes or sorted(GEOMETRY_BUILDERS)
+    results = {}
+    for name in shapes:
+        mesh = build_geometry(name, hsize=hsize)
+        data = build_data(mesh, 1.0, rng, families=families)
+        graphs = {k: batch_graphs([v]) for k, v in data.items()}
+        results[name] = test_sample(predictors, graphs)
+    return results
+
+
 def test_several_init(predict_fn: Callable, sample: dict,
                       inits: Sequence[str] = ("zero", "default", "random",
                                               "solution"),

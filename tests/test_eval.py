@@ -106,3 +106,11 @@ def test_dss_sample_from_fem_roundtrip(fem_sample):
     n = s["x"].shape[0]
     u = jnp.zeros((g.n_node_cap, 1)).at[:n].set(jnp.asarray(s["sol"]))
     assert float(dss_residual_loss(u, g)) < 1e-6
+
+
+def test_geometry_zoo_eval():
+    from psignn_tpu.eval.sweep import geometry_zoo_eval
+    out = geometry_zoo_eval({"oracle": lambda g: g.sol}, hsize=0.25,
+                            shapes=["circle", "heart"], families=("psignn",))
+    assert set(out) == {"circle", "heart"}
+    assert out["circle"]["oracle"]["mse"] < 1e-8

@@ -22,7 +22,7 @@ incoming gradient with the solution of the adjoint linear system
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

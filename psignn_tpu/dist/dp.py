@@ -12,7 +12,7 @@ collective XLA compiles onto the interconnect, no NCCL/MPI analog needed
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

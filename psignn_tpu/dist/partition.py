@@ -15,7 +15,7 @@ multi-chip benchmarking is available (BASELINE.md ≥80 % scaling target).
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

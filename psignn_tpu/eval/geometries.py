@@ -11,7 +11,7 @@ the reference recomputes FEniCS ground truth per run.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from matplotlib.path import Path as MplPath

@@ -21,9 +21,6 @@ import argparse
 import functools
 import os
 
-import jax
-import numpy as np
-
 REF = "/root/reference"
 CKPTS = {
     "psignn": os.path.join(

@@ -16,8 +16,6 @@ import functools
 import json
 import os
 
-import numpy as np
-
 
 def load_predictor(ckpt_path: str):
     """Build (predict_fn, family, cfg, params) from a trainer checkpoint."""

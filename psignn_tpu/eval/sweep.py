@@ -13,7 +13,6 @@ the robustness-to-initialization study (spec_geo.py:375-409).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence

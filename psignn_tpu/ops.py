@@ -21,7 +21,7 @@ Reference semantics being reproduced:
 from __future__ import annotations
 
 import os
-from typing import Callable, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -32,8 +32,6 @@ perturb the norms.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -22,7 +22,7 @@ import dataclasses
 import math
 import os
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -289,17 +289,6 @@ class Trainer:
                     " \t Jac : {:.5e} \t Enc : {:.5e} \t AE : {:.5e}"
                     " \t MSE : {:.5e}".format(
                         epoch, *(self.hist_val[k][-1] for k in LOSS_KEYS)))
-
-    def _collect(self, loss, aux) -> Dict[str, float]:
-        # one stacked device->host fetch instead of seven scalar roundtrips
-        # (they dominate step time on remote-device tunnels)
-        keys = ["residual_loss", "jacobian_loss", "encoder_loss",
-                "autoencoder_loss", "mse_loss"]
-        vec = np.asarray(jnp.stack(
-            [loss] + [aux.get(k, jnp.zeros(())) for k in keys]))
-        out = {"loss": float(vec[0])}
-        out.update({k: float(v) for k, v in zip(keys, vec[1:])})
-        return out
 
     # ------------------------------------------------------------- main train
 

@@ -274,6 +274,9 @@ class GraphLoader:
     # (the reference reshuffles samples per epoch; composition is frozen
     # after the first shuffle here).
     cache_batches: bool = False
+    # Data parallelism: split every batch into n_devices per-device
+    # PaddedGraphs stacked on a leading 'dp' axis (consumed by dist.dp).
+    n_devices: int = 0
 
     def __post_init__(self):
         self._epoch = 0
@@ -331,6 +334,18 @@ class GraphLoader:
             if self.drop_last and len(sel) < self.batch_size:
                 return
             chunk = [self.samples[j] for j in sel]
+            if self.n_devices > 1:
+                if len(chunk) % self.n_devices:
+                    continue  # uneven final batch can't shard evenly
+                import jax
+                import jax.numpy as jnp
+                per = len(chunk) // self.n_devices
+                shards = [batch_graphs(chunk[d * per:(d + 1) * per],
+                                       n_node_cap=self.n_node_cap,
+                                       n_edge_cap=self.n_edge_cap)
+                          for d in range(self.n_devices)]
+                yield jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+                continue
             yield batch_graphs(chunk, n_node_cap=self.n_node_cap,
                                n_edge_cap=self.n_edge_cap,
                                pack_kernel_blocks=self.pack_kernel_blocks)

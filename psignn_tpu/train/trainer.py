@@ -57,6 +57,9 @@ class TrainConfig:
     plot_every: int = 2
     val_sradius: bool = True
     lr_floor: float = 1e-7
+    # shard_map data parallelism over the device mesh; requires loaders
+    # built with GraphLoader(n_devices=N) so batches arrive stacked
+    data_parallel: bool = False
 
 
 def count_params(params) -> int:
@@ -165,6 +168,44 @@ class Trainer:
 
     def _build_steps(self):
         clip = self.c.gradient_clip
+
+        if self.c.data_parallel:
+            from ..dist import dp_value_and_grad, make_mesh
+            n_dev = getattr(self.loader_train, "n_devices", 0) or \
+                jax.device_count()
+            mesh = make_mesh(n_dev)
+            vag = dp_value_and_grad(
+                lambda p, g, r: self._loss_and_aux(p, g, r, True), mesh)
+
+            if self.family == "psignn":
+                def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):
+                    loss, aux, grads = vag(params, graph, rng)
+                    grads, gnorm = clip_by_global_norm(grads, clip)
+                    pf, sd = adam_update(grads["function"], opt_state["deq"],
+                                         params["function"], lr_deq)
+                    pa, sa = adam_update(grads["autoencoder"],
+                                         opt_state["ae"],
+                                         params["autoencoder"], lr_ae)
+                    return ({"function": pf, "autoencoder": pa},
+                            {"deq": sd, "ae": sa}, loss, aux, gnorm, grads)
+            else:
+                def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):
+                    del lr_ae
+                    loss, aux, grads = vag(params, graph, rng)
+                    grads, gnorm = clip_by_global_norm(grads, clip)
+                    params, opt_state = adam_update(grads, opt_state, params,
+                                                    lr_deq)
+                    return params, opt_state, loss, aux, gnorm, grads
+
+            def val_step(params, graph, rng):
+                # validate on the first shard (metrics only)
+                g0 = jax.tree.map(lambda x: x[0], graph)
+                return self._loss_and_aux(params, g0, rng,
+                                          not self.c.val_sradius)
+
+            self._train_step = jax.jit(train_step)
+            self._val_step = jax.jit(val_step)
+            return
 
         if self.family == "psignn":
             def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):

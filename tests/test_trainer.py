@@ -100,3 +100,21 @@ def test_trainer_psignn_with_logs_and_resume(tmp_path, data_dir):
     b = jax.tree.leaves(tr2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_data_parallel(tmp_path, data_dir):
+    """DP trainer on the 8-device virtual CPU mesh."""
+    import jax
+    from psignn_tpu.data.reader import load_dataset, split_dataset, GraphLoader
+    samples = load_dataset(data_dir, family="dsgps")
+    train, val, test = split_dataset(samples, family="dsgps")
+    lt = GraphLoader(train, batch_size=4, shuffle=True, seed=0, n_devices=2)
+    lv = GraphLoader(val, batch_size=4, n_devices=2)
+    cfg = TrainConfig(family="dsgps", model_cfg=DsgpsConfig(k=2),
+                      max_epochs=2, lr=0.01, gradient_clip=0.01,
+                      path_results=str(tmp_path), plot_every=100,
+                      data_parallel=True)
+    tr = Trainer(cfg, lt, lv)
+    tr.train_model()
+    assert np.isfinite(tr.hist_val["loss"][-1])
+    assert len(tr.hist_train["loss"]) == 2

@@ -67,8 +67,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=1e-3)
     p.add_argument("--gamma", type=float, default=0.9)
     # data-parallel
-    p.add_argument("--num_devices", type=int, default=0,
-                   help="0 = all local devices; shard_map DP when > 1")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard_map data parallelism when > 1; 0 = all local devices")
     # TPU kernel path
     p.add_argument("--rcm", action="store_true",
                    help="RCM-permute each sample (small kernel windows)")
@@ -118,13 +118,20 @@ def main(argv=None):
         from psignn_tpu import ops
         ops.USE_PALLAS_MP = True
     rcm = args.rcm or args.pallas
+    n_dev = args.num_devices
+    if n_dev == 0:
+        import jax
+        n_dev = jax.device_count()
+    dp = n_dev > 1
     loader_train = GraphLoader(train, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, rcm=rcm,
                                pack_kernel_blocks=args.pallas,
-                               cache_batches=bool(args.cache_batches))
+                               cache_batches=bool(args.cache_batches),
+                               n_devices=n_dev if dp else 0)
     loader_val = GraphLoader(val, batch_size=args.batch_size, rcm=rcm,
                              pack_kernel_blocks=args.pallas,
-                             cache_batches=bool(args.cache_batches))
+                             cache_batches=bool(args.cache_batches),
+                             n_devices=n_dev if dp else 0)
 
     cfg = TrainConfig(
         family=args.family, model_cfg=build_model_cfg(args),
@@ -132,7 +139,7 @@ def main(argv=None):
         lr_ae=args.lr_ae, sched_step_deq=args.sched_step_deq,
         sched_step_ae=args.sched_step_ae, gradient_clip=args.gradient_clip,
         jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
-        path_results=args.path_results, seed=args.seed)
+        path_results=args.path_results, seed=args.seed, data_parallel=dp)
 
     trainer = Trainer(cfg, loader_train, loader_val)
     if args.resume:

@@ -54,7 +54,7 @@ def get_parser() -> argparse.ArgumentParser:
     # solver / DEQ (psignn)
     p.add_argument("--solver", type=str, default="broyden",
                    choices=["broyden", "forward_iteration", "anderson",
-                            "newton"])
+                            "newton", "newton_krylov"])
     p.add_argument("--jac_weight", type=float, default=0.0)
     p.add_argument("--latent_dim", type=int, default=10)
     p.add_argument("--n_layers", type=int, default=1)

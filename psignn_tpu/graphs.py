@@ -214,7 +214,12 @@ def batch_graphs(
     mp_to = mp_from = None
     if pack_kernel_blocks:
         from .kernels import pack_mp_blocks
-        ea_for_pack = edge_feat("edge_attr", 3)
+        # dss graphs carry their message-passing edge feature in a_ij_norm
+        # (1-dim, dss/utilities/reader.py:89-93); others use edge_attr (3-dim)
+        if has("a_ij_norm"):
+            ea_for_pack = edge_feat("a_ij_norm", 1)
+        else:
+            ea_for_pack = edge_feat("edge_attr", 3)
         mp_to = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,
                                cap_n, "to")
         mp_from = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,

@@ -55,6 +55,13 @@ def dss_init(key: jax.Array, cfg: DssConfig) -> Dict:
 def _mp(mlp_params, h, graph: PaddedGraph, direction: str):
     """Message passing with the 1-d a_ij_norm edge feature
     (dss/model.py:79-81)."""
+    from .. import ops
+    blocks = (graph.mp_blocks_to if direction == "to"
+              else graph.mp_blocks_from)
+    if ops.USE_PALLAS_MP and blocks is not None and len(mlp_params) == 2:
+        from ..kernels import fused_message_passing
+        return fused_message_passing(mlp_params, h, blocks,
+                                     latent_dim=h.shape[-1])
     if direction == "to":
         xi = jnp.take(h, graph.receivers, axis=0)
         xj = jnp.take(h, graph.senders, axis=0)

@@ -126,3 +126,41 @@ def test_fused_mp_gradients_match_ops(graph):
     for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(go)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_dss_kernel_path_matches(monkeypatch):
+    """DSS forward via the fused kernel (interpret) == the XLA path."""
+    import tempfile
+    from psignn_tpu import ops
+    from psignn_tpu.data.generate import generate_data, add_dss_variable
+    from psignn_tpu.data.reader import load_dataset
+    from psignn_tpu.kernels import fused_mp as fm
+    from psignn_tpu.models import DssConfig, dss_init, dss_forward
+
+    path = tempfile.mkdtemp()
+    generate_data(path, n_mesh=1, n_samples=2, hsize=0.25, seed=71,
+                  verbose=False)
+    add_dss_variable(path)
+    samples = load_dataset(path, family="dss")
+    g_plain = batch_graphs(samples[:2])
+    g_packed = batch_graphs(samples[:2], pack_kernel_blocks=True)
+    assert g_packed.mp_blocks_to.edge_attr.shape[-1] == 1  # a_ij_norm
+
+    cfg = DssConfig(k=3)
+    params = dss_init(jax.random.PRNGKey(0), cfg)
+    want = dss_forward(params, g_plain, cfg)
+
+    # force interpret mode for the CPU test
+    orig = fm.fused_message_passing
+    monkeypatch.setattr(
+        fm, "fused_message_passing",
+        lambda p, h, b, latent_dim, interpret=False:
+            orig(p, h, b, latent_dim, interpret=True))
+    import psignn_tpu.kernels as K
+    monkeypatch.setattr(K, "fused_message_passing", fm.fused_message_passing)
+    monkeypatch.setattr(ops, "USE_PALLAS_MP", True)
+    got = dss_forward(params, g_packed, cfg)
+    np.testing.assert_allclose(np.asarray(got.u_final),
+                               np.asarray(want.u_final), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(got.losses["train_loss"]),
+                               float(want.losses["train_loss"]), rtol=2e-4)

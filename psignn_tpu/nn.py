@@ -33,8 +33,17 @@ def linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32) -> Params:
     }
 
 
+# Full-f32 matmuls everywhere: TPU's default bf16-input matmul puts a
+# ~3-decimal-digit noise floor on activations, which caps how far the
+# physics residual ‖Au−b‖² can be driven down (the reference trains in f32;
+# with the default precision our dsgps training plateaued ~50x above the
+# reference residual).  These matmuls are tiny (latent_dim 10) and
+# bandwidth-bound, so the precision costs no measurable wall-clock.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def linear_apply(p: Params, x: jax.Array) -> jax.Array:
-    return x @ p["w"] + p["b"]
+    return jnp.dot(x, p["w"], precision=MATMUL_PRECISION) + p["b"]
 
 
 def mlp_init(key, hidden_channels: Sequence[int], dtype=jnp.float32) -> List[Params]:

@@ -74,6 +74,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="RCM-permute each sample (small kernel windows)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas message-passing kernels (implies --rcm)")
+    p.add_argument("--val_sradius", type=int, default=1,
+                   help="power-method spectral radius during validation "
+                        "(psignn; 150 VJPs per val batch, as the reference)")
     p.add_argument("--cache_batches", type=int, default=1,
                    help="pre-build batches and keep them on device (epochs "
                         "reshuffle batch order, not membership)")
@@ -139,7 +142,8 @@ def main(argv=None):
         lr_ae=args.lr_ae, sched_step_deq=args.sched_step_deq,
         sched_step_ae=args.sched_step_ae, gradient_clip=args.gradient_clip,
         jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
-        path_results=args.path_results, seed=args.seed, data_parallel=dp)
+        path_results=args.path_results, seed=args.seed, data_parallel=dp,
+        val_sradius=bool(args.val_sradius))
 
     trainer = Trainer(cfg, loader_train, loader_val)
     if args.resume:

@@ -50,13 +50,19 @@ def main():
     from psignn_tpu.models import PsignnConfig, psignn_init
     from psignn_tpu.models.psignn import encoder_apply, make_function
 
-    # The fused Pallas MP kernel measures 2.19x over take+segment_sum in
-    # isolation (see docs/PERF.md), but compiling the full 531-step broyden
-    # program with in-loop pallas_calls exceeds 10 min on this remote-compile
-    # setup, so the default bench path stays on XLA ops; flip the env var to
-    # benchmark the kernel path where compile time is not a constraint.
-    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "0") == "1"
-    ops.USE_PALLAS_MP = ops.USE_PALLAS_MP or use_pallas
+    # Persistent compile cache: the fused-kernel program's first (remote)
+    # Mosaic compile is ~1 min; subsequent runs load from this cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__) or ".",
+                                       ".jax_cache"))
+    except Exception:
+        pass
+
+    # Default: fused Pallas MP kernels (2x end-to-end over take+segment_sum,
+    # docs/PERF.md).  PSIGNN_TPU_BENCH_PALLAS=0 opts out (pure-XLA path).
+    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "1") == "1"
+    ops.USE_PALLAS_MP = use_pallas
 
     nstep = 531
     graph, n_nodes, n_edges = build_big_graph(pallas=use_pallas)

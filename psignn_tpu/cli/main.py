@@ -74,6 +74,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="RCM-permute each sample (small kernel windows)")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas message-passing kernels (implies --rcm)")
+    p.add_argument("--lowrank_bf16", action="store_true",
+                   help="EXPERIMENTAL: bfloat16 Broyden rank-1 factors (f32 "
+                        "accumulate). Halves late-iteration HBM traffic but "
+                        "can trip the divergence protection on large meshes "
+                        "(docs/PERF.md); not used by canonical configs")
     p.add_argument("--val_sradius", type=int, default=1,
                    help="power-method spectral radius during validation "
                         "(psignn; 150 VJPs per val batch, as the reference)")
@@ -89,7 +94,8 @@ def build_model_cfg(args):
         return PsignnConfig(latent_dim=args.latent_dim, n_layers=args.n_layers,
                             bc_mode=args.variant, solver=args.solver,
                             fw_tol=args.fw_tol, fw_thres=args.fw_thres,
-                            bw_tol=args.bw_tol, bw_thres=args.bw_thres)
+                            bw_tol=args.bw_tol, bw_thres=args.bw_thres,
+                            lowrank_bf16=args.lowrank_bf16)
     if args.family == "dsgps":
         return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
                            gamma=args.gamma, bc_mode=args.variant)

@@ -53,12 +53,23 @@ def _zero_cotangent(tree):
 
 
 class DEQConfig(NamedTuple):
-    """Solver knobs (model.py:39-45 config_deq)."""
+    """Solver knobs (model.py:39-45 config_deq).
+
+    ``lowrank_bf16`` stores Broyden's rank-1 factor buffers in bfloat16
+    (f32 accumulation) — a TPU-only bandwidth optimization, off by default
+    for bit-parity with the reference."""
     solver: str = "broyden"
     fw_tol: float = 1e-5
     fw_thres: int = 300
     bw_tol: float = 1e-8
     bw_thres: int = 300
+    lowrank_bf16: bool = False
+
+
+def _solver_kwargs(cfg: "DEQConfig") -> dict:
+    if cfg.solver == "broyden" and cfg.lowrank_bf16:
+        return {"lowrank_dtype": jnp.bfloat16}
+    return {}
 
 
 def fixed_point_forward(f: Callable, params, h_init, graph, cfg: DEQConfig,
@@ -74,7 +85,7 @@ def fixed_point_forward(f: Callable, params, h_init, graph, cfg: DEQConfig,
     solver = get_solver(cfg.solver)
     return solver(lambda h: f(p, h, h0, graph), h0,
                   threshold=cfg.fw_thres, eps=cfg.fw_tol,
-                  keep_trace=keep_trace)
+                  keep_trace=keep_trace, **_solver_kwargs(cfg))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -105,7 +116,8 @@ def _deq_attach_bwd(f, cfg, res, g):
 
     solver = get_solver(cfg.solver)
     out_bw = solver(adjoint, jnp.zeros_like(g),
-                    threshold=cfg.bw_thres, eps=cfg.bw_tol)
+                    threshold=cfg.bw_thres, eps=cfg.bw_tol,
+                    **_solver_kwargs(cfg))
     y_star = out_bw.result
     if _BW_LOG_HOOK is not None:
         jax.debug.callback(_BW_LOG_HOOK, out_bw.lowest, out_bw.nstep)

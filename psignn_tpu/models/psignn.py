@@ -45,6 +45,7 @@ class PsignnConfig:
     bw_thres: int = 300
     jac_vecs: int = 1                   # model.py:207 uses vecs=1
     edge_dim: int = 3
+    lowrank_bf16: bool = False          # bf16 Broyden rank buffers (TPU perf)
 
     @property
     def prb_dim(self) -> int:
@@ -56,7 +57,8 @@ class PsignnConfig:
     def deq(self) -> DEQConfig:
         return DEQConfig(solver=self.solver, fw_tol=self.fw_tol,
                          fw_thres=self.fw_thres, bw_tol=self.bw_tol,
-                         bw_thres=self.bw_thres)
+                         bw_thres=self.bw_thres,
+                         lowrank_bf16=self.lowrank_bf16)
 
 
 def psignn_init(key: jax.Array, cfg: PsignnConfig) -> Dict:

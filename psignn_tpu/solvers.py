@@ -231,6 +231,16 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
 _LR_BLOCK = 128
 
 
+def _lr_matmul(a, b):
+    """Rank-block matmul with f32 accumulation regardless of storage dtype.
+
+    When the low-rank buffers are stored bf16 (``lowrank_dtype``), the MXU
+    consumes them natively and accumulates in f32; HBM traffic per live rank
+    halves versus f32 storage."""
+    return jnp.matmul(a, b, precision=_HI,
+                      preferred_element_type=jnp.float32)
+
+
 def _rmatvec(Us, VTs, x, nblocks):
     """x^T (−I + U Vᵀ) with Us/VTs stored as (T/B, B, N·D) step-blocked
     rank-1 factors (semantics of solver.py:96-104).
@@ -241,25 +251,36 @@ def _rmatvec(Us, VTs, x, nblocks):
     HBM bandwidth proportional to ``threshold/nstep``; the blocked fori_loop
     makes per-iteration traffic proportional to the live rank instead."""
     def body(i, acc):
-        xtu = jnp.matmul(Us[i], x, precision=_HI)        # (B,)
-        return acc + jnp.matmul(xtu, VTs[i], precision=_HI)
-    acc = jax.lax.fori_loop(0, nblocks, body, jnp.zeros_like(x))
-    return -x + acc
+        xtu = _lr_matmul(Us[i], x.astype(Us.dtype))      # (B,) f32
+        return acc + _lr_matmul(xtu.astype(VTs.dtype), VTs[i])
+    acc = jax.lax.fori_loop(0, nblocks, body,
+                            jnp.zeros_like(x, jnp.float32))
+    return (-x + acc).astype(x.dtype)
 
 
 def _matvec(Us, VTs, x, nblocks):
     """(−I + U Vᵀ) x (solver.py:106-114), step-blocked as above."""
     def body(i, acc):
-        vtx = jnp.matmul(VTs[i], x, precision=_HI)       # (B,)
-        return acc + jnp.matmul(vtx, Us[i], precision=_HI)
-    acc = jax.lax.fori_loop(0, nblocks, body, jnp.zeros_like(x))
-    return -x + acc
+        vtx = _lr_matmul(VTs[i], x.astype(VTs.dtype))    # (B,) f32
+        return acc + _lr_matmul(vtx.astype(Us.dtype), Us[i])
+    acc = jax.lax.fori_loop(0, nblocks, body,
+                            jnp.zeros_like(x, jnp.float32))
+    return (-x + acc).astype(x.dtype)
 
 
 def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
-            stop_mode: str = "rel", keep_trace: bool = False) -> SolverResult:
+            stop_mode: str = "rel", keep_trace: bool = False,
+            lowrank_dtype=None) -> SolverResult:
     """Broyden quasi-Newton root finder for g(x) = f(x) − x
-    (solver.py:116-207, default no line search as the reference calls it)."""
+    (solver.py:116-207, default no line search as the reference calls it).
+
+    ``lowrank_dtype`` selects the storage dtype of the rank-1 factor buffers
+    ``Us/VTs`` (default: x0.dtype).  ``jnp.bfloat16`` halves the dominant
+    late-iteration HBM traffic; the rank-op matvecs always accumulate in f32
+    (see ``_lr_matmul``), and the Broyden *update* vectors u/vᵀ are computed
+    in full precision before being stored.  EXPERIMENTAL: the ~0.4 % factor
+    error can destabilize long solves (measured: divergence protection trips
+    ≈ step 50 on an 11 k-node mesh — docs/PERF.md "Negative results")."""
     if stop_mode not in ("rel", "abs"):
         raise ValueError(stop_mode)
     shape = x0.shape
@@ -275,8 +296,9 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
     gx = g(xf)
     B = _LR_BLOCK
     n_blocks_cap = -(-T // B)
-    Us = jnp.zeros((n_blocks_cap, B, d), x0.dtype)
-    VTs = jnp.zeros((n_blocks_cap, B, d), x0.dtype)
+    lr_dtype = lowrank_dtype or x0.dtype
+    Us = jnp.zeros((n_blocks_cap, B, d), lr_dtype)
+    VTs = jnp.zeros((n_blocks_cap, B, d), lr_dtype)
     update = gx  # −matvec(empty) = +gx
 
     trace = None

@@ -55,7 +55,9 @@ def test_bucket_size():
     assert bucket_size(1) == 256
     assert bucket_size(257) == 512
     assert bucket_size(4096) == 4096
-    assert bucket_size(4097) == 8192
+    # multiples of 1024 above 4096 (bounded padding waste; see docstring)
+    assert bucket_size(4097) == 5120
+    assert bucket_size(11081) == 11264
 
 
 def test_batch_offsets_and_masks():

@@ -152,3 +152,18 @@ def test_newton_krylov_in_deq():
     h = out.result
     np.testing.assert_allclose(np.asarray(f(params, h, h0, None)),
                                np.asarray(h), atol=1e-5)
+
+
+def test_broyden_bf16_lowrank_converges():
+    """bf16 rank-factor storage (TPU bandwidth mode) still solves the
+    analytic problem; accuracy within bf16's ~3 significant digits."""
+    f, xstar, shape = make_linear(rho=0.9, seed=2)
+    x0 = jnp.zeros(shape)
+    out32 = broyden(f, x0, threshold=200, eps=1e-7)
+    out16 = broyden(f, x0, threshold=200, eps=1e-7,
+                    lowrank_dtype=jnp.bfloat16)
+    assert out16.result.dtype == x0.dtype  # storage dtype never leaks out
+    np.testing.assert_allclose(np.asarray(out16.result), xstar,
+                               rtol=5e-3, atol=5e-3)
+    # within ~2x the iteration count of the f32 run
+    assert int(out16.nstep) <= 2 * int(out32.nstep) + 10

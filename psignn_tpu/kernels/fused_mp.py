@@ -245,12 +245,32 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
 
     def kernel(ws_ref, haT_ref, aggl_ref, othl_ref, eaT_ref, mask_ref,
                w1cT_ref, b1_ref, w2T_ref, b2_ref, hbT_ref, outT_ref,
-               hbT_win, sem):
+               hbT_wins, sems):
+        # double-buffered window pipeline: the hbT window DMA for block i+1
+        # is issued before computing block i, hiding the per-step DMA
+        # latency that otherwise serializes the grid (the kernel is
+        # grid/DMA-latency bound, not MXU bound — docs/PERF.md)
         i = pl.program_id(0)
-        ws = pl.multiple_of(ws_ref[i], BLOCK_N)  # pack quantizes win_start
-        dma = pltpu.make_async_copy(hbT_ref.at[:, pl.ds(ws, W)], hbT_win, sem)
-        dma.start()
-        dma.wait()
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def win_copy(block_idx, buf_slot):
+            ws = pl.multiple_of(ws_ref[block_idx], BLOCK_N)  # pack quantizes
+            return pltpu.make_async_copy(hbT_ref.at[:, pl.ds(ws, W)],
+                                         hbT_wins.at[buf_slot],
+                                         sems.at[buf_slot])
+
+        @pl.when(i == 0)
+        def _first():
+            win_copy(0, slot).start()
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            win_copy(i + 1, nxt).start()
+
+        win_copy(i, slot).wait()
+        hbT_win = hbT_wins.at[slot]
 
         outT_ref[:] = jnp.zeros_like(outT_ref)
         f32 = jnp.float32
@@ -307,8 +327,8 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
         ],
         out_specs=pl.BlockSpec((d_out, BLOCK_N), lambda i, ws: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((dh_pad, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, dh_pad, W), jnp.float32),   # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # the grid covers only live blocks (trailing padding blocks are dropped

@@ -241,33 +241,6 @@ def _lr_matmul(a, b):
                       preferred_element_type=jnp.float32)
 
 
-def _rmatvec(Us, VTs, x, nblocks):
-    """x^T (−I + U Vᵀ) with Us/VTs stored as (T/B, B, N·D) step-blocked
-    rank-1 factors (semantics of solver.py:96-104).
-
-    Only the first ``nblocks`` blocks are touched — the buffers are sized
-    for the full threshold but at step ``nstep`` only ``nstep`` rows are
-    live, so streaming the whole buffer (what a direct port would do) wastes
-    HBM bandwidth proportional to ``threshold/nstep``; the blocked fori_loop
-    makes per-iteration traffic proportional to the live rank instead."""
-    def body(i, acc):
-        xtu = _lr_matmul(Us[i], x.astype(Us.dtype))      # (B,) f32
-        return acc + _lr_matmul(xtu.astype(VTs.dtype), VTs[i])
-    acc = jax.lax.fori_loop(0, nblocks, body,
-                            jnp.zeros_like(x, jnp.float32))
-    return (-x + acc).astype(x.dtype)
-
-
-def _matvec(Us, VTs, x, nblocks):
-    """(−I + U Vᵀ) x (solver.py:106-114), step-blocked as above."""
-    def body(i, acc):
-        vtx = _lr_matmul(VTs[i], x.astype(VTs.dtype))    # (B,) f32
-        return acc + _lr_matmul(vtx.astype(Us.dtype), Us[i])
-    acc = jax.lax.fori_loop(0, nblocks, body,
-                            jnp.zeros_like(x, jnp.float32))
-    return (-x + acc).astype(x.dtype)
-
-
 def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
             stop_mode: str = "rel", keep_trace: bool = False,
             lowrank_dtype=None) -> SolverResult:
@@ -345,17 +318,43 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         # Broyden rank-1 update (solver.py:185-192); rows ≥ nstep are zero so
         # the blocked buffers equal the reference's :nstep-1 slices, and only
         # the ceil(nstep/B) live blocks are streamed from HBM.
+        #
+        # The three rank-op sweeps of a direct port — rmatvec(Δx),
+        # matvec(Δg), matvec(g_new), semantics of solver.py:96-114 with
+        # x^T(−I+UVᵀ) and (−I+UVᵀ)x — are fused into ONE blocked pass: the
+        # two matvec right-hand sides are stacked into a (2, d) operand, and
+        # the post-update matvec(g_new) is recovered from the pre-update one
+        # via the appended pair, matvec_new(x) = matvec_old(x) + u·(vᵀx).
+        # This is the dominant late-iteration HBM cost (each live block is
+        # ~57 MB at d≈113k), so sweep count ≈ wall-clock.
         nblk = (nstep + B - 1) // B
         delta_x = x_new - c["x"]
         delta_gx = gx_new - c["gx"]
-        vT = _rmatvec(c["Us"], c["VTs"], delta_x, nblk)
+        rhs2 = jnp.stack([delta_gx, gx_new])                  # (2, d)
+
+        def rank_body(i, accs):
+            ra, mv2 = accs
+            Ui, Vi = c["Us"][i], c["VTs"][i]
+            xtu = _lr_matmul(Ui, delta_x.astype(Ui.dtype))    # (B,)
+            ra = ra + _lr_matmul(xtu.astype(Vi.dtype), Vi)    # (d,)
+            vtx = _lr_matmul(Vi, rhs2.T.astype(Vi.dtype))     # (B, 2)
+            mv2 = mv2 + _lr_matmul(vtx.T.astype(Ui.dtype), Ui)  # (2, d)
+            return (ra, mv2)
+
+        ra, mv2 = jax.lax.fori_loop(
+            0, nblk, rank_body,
+            (jnp.zeros_like(xf, jnp.float32),
+             jnp.zeros((2,) + xf.shape, jnp.float32)))
+        vT = (-delta_x + ra).astype(x0.dtype)                 # rmatvec(Δx)
         denom = _vdot(vT, delta_gx)
-        u = (delta_x - _matvec(c["Us"], c["VTs"], delta_gx, nblk)) / denom
+        mv_dgx = (-delta_gx + mv2[0]).astype(x0.dtype)        # matvec(Δg)
+        mv_gx = (-gx_new + mv2[1]).astype(x0.dtype)           # matvec(g_new), pre-update
+        u = (delta_x - mv_dgx) / denom
         vT = jnp.nan_to_num(vT, nan=0.0, posinf=0.0, neginf=0.0)
         u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
         Us = c["Us"].at[(nstep - 1) // B, (nstep - 1) % B].set(u)
         VTs = c["VTs"].at[(nstep - 1) // B, (nstep - 1) % B].set(vT)
-        new_update = -_matvec(Us, VTs, gx_new, nblk)
+        new_update = -(mv_gx + u * _vdot(vT, gx_new))
 
         c2 = dict(c, x=x_new, gx=gx_new, update=new_update, Us=Us, VTs=VTs,
                   nstep=nstep, abs_trace=abs_trace, rel_trace=rel_trace,

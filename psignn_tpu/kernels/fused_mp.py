@@ -235,12 +235,14 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
     b2c = b2.reshape(-1, 1)                          # (D, 1)
 
     n_blocks, e_cap = blocks.agg_local.shape
-    n_sub = e_cap // BLOCK_E
     W = blocks.window
 
-    aggl3 = blocks.agg_local.reshape(n_blocks, n_sub, BLOCK_E)
-    othl3 = blocks.oth_local.reshape(n_blocks, n_sub, BLOCK_E)
-    mask3 = blocks.mask.reshape(n_blocks, n_sub, BLOCK_E)
+    # (n_blocks, 1, E_cap): the singleton middle axis satisfies Mosaic's
+    # block-shape tiling rule (last two dims must divide (8, 128) or equal
+    # the array dims) while keeping one whole edge row per grid step
+    aggl2 = blocks.agg_local[:, None, :]
+    othl2 = blocks.oth_local[:, None, :]
+    mask2 = blocks.mask[:, None, :]
     eaT3 = jnp.swapaxes(blocks.edge_attr, 1, 2)      # (n_blocks, edge_dim, E_cap)
 
     def kernel(ws_ref, haT_ref, aggl_ref, othl_ref, eaT_ref, mask_ref,
@@ -272,7 +274,6 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
         win_copy(i, slot).wait()
         hbT_win = hbT_wins.at[slot]
 
-        outT_ref[:] = jnp.zeros_like(outT_ref)
         f32 = jnp.float32
         # full f32 matmuls: Mosaic's default MXU precision is one-pass bf16,
         # which truncates the h-side values to ~3 significant digits (0.4 %
@@ -281,44 +282,43 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
         # only ~6x the kernel's (tiny) MXU time.
         hi = jax.lax.Precision.HIGHEST
 
-        def sub(s, _):
-            agg_l = aggl_ref[0, s]                      # (BE,)
-            oth_l = othl_ref[0, s]                      # (BE,)
-            m = mask_ref[0, s]                          # (BE,)
-            eaT = eaT_ref[0, :, pl.ds(s * BLOCK_E, BLOCK_E)]  # (edge_dim, BE)
+        # one full-width dot per stage (not an inner 128-edge sub-loop): the
+        # kernel's cost is per-instruction issue overhead, not FLOPs — five
+        # (·, e_cap) dots per block beat 5·(e_cap/128) tiny ones 6x
+        agg_l = aggl_ref[0, 0]                          # (E_cap,)
+        oth_l = othl_ref[0, 0]                          # (E_cap,)
+        m = mask_ref[0, 0]                              # (E_cap,)
+        eaT = eaT_ref[0]                                # (edge_dim, E_cap)
 
-            iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, BLOCK_E), 0)
-            S = (iota_n == agg_l[None, :]).astype(f32)        # (BN, BE)
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, BLOCK_E), 0)
-            GT = (iota_w == oth_l[None, :]).astype(f32)       # (W, BE)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, e_cap), 0)
+        S = (iota_n == agg_l[None, :]).astype(f32)      # (BN, E_cap)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, e_cap), 0)
+        GT = (iota_w == oth_l[None, :]).astype(f32)     # (W, E_cap)
 
-            xiT = jnp.dot(haT_ref[:], S, preferred_element_type=f32,
+        xiT = jnp.dot(haT_ref[:], S, preferred_element_type=f32,
+                      precision=hi)
+        xjT = jnp.dot(hbT_win[:], GT, preferred_element_type=f32,
+                      precision=hi)
+        preT = (xiT + xjT
+                + jnp.dot(w1cT_ref[:], eaT, preferred_element_type=f32,
                           precision=hi)
-            xjT = jnp.dot(hbT_win[:], GT, preferred_element_type=f32,
-                          precision=hi)
-            preT = (xiT + xjT
-                    + jnp.dot(w1cT_ref[:], eaT, preferred_element_type=f32,
+                + b1_ref[:])
+        msgT = (jnp.dot(w2T_ref[:], jnp.maximum(preT, 0.0),
+                        preferred_element_type=f32, precision=hi)
+                + b2_ref[:])
+        msgT = msgT * m[None, :]
+        outT_ref[:] = jnp.dot(msgT, S.T, preferred_element_type=f32,
                               precision=hi)
-                    + b1_ref[:])
-            msgT = (jnp.dot(w2T_ref[:], jnp.maximum(preT, 0.0),
-                            preferred_element_type=f32, precision=hi)
-                    + b2_ref[:])
-            msgT = msgT * m[None, :]
-            outT_ref[:] += jnp.dot(msgT, S.T, preferred_element_type=f32,
-                                   precision=hi)
-            return 0
-
-        jax.lax.fori_loop(0, n_sub, sub, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((dh_pad, BLOCK_N), lambda i, ws: (0, i)),  # haT blk
-            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
-            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec((1, edge_dim, e_cap), lambda i, ws: (i, 0, 0)),
-            pl.BlockSpec((1, n_sub, BLOCK_E), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1cT
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b1 col
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2T
@@ -339,6 +339,6 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
         out_shape=jax.ShapeDtypeStruct((d_out, n_blocks * BLOCK_N),
                                        jnp.float32),
         interpret=interpret,
-    )(blocks.win_start, haT, aggl3, othl3, eaT3, mask3,
+    )(blocks.win_start, haT, aggl2, othl2, eaT3, mask2,
       w1cT, b1c, w2T, b2c, hbT)
     return jnp.pad(outT, ((0, 0), (0, blocks.n_node_cap - n_blocks * BLOCK_N))).T

@@ -140,4 +140,10 @@ def pack_mp_blocks_core(agg, oth, n_node_cap, block_n, e_cap):
         block_n, e_cap, agg_local, oth_global, mask, win_start, fill)
     if need < 0:
         raise ValueError("e_cap too small for block packing")
-    return agg_local, oth_global, mask, win_start, int(need)
+    # live-block grid: drop trailing all-padding blocks, matching the Python
+    # pack (kernels/fused_mp.pack_mp_blocks) which sizes the kernel grid by
+    # the last aggregation node that actually has edges
+    live = np.nonzero(fill)[0]
+    n_live = max(1, int(live[-1]) + 1) if len(live) else 1
+    return (agg_local[:n_live], oth_global[:n_live], mask[:n_live],
+            win_start[:n_live], int(need))

@@ -79,6 +79,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "accumulate). Halves late-iteration HBM traffic but "
                         "can trip the divergence protection on large meshes "
                         "(docs/PERF.md); not used by canonical configs")
+    p.add_argument("--lowrank_max_rank", type=int, default=0,
+                   help="cap Broyden's low-rank memory at this many rank-1 "
+                        "pairs (ring overwrite, L-BFGS style); bounds the "
+                        "per-iteration rank-op HBM traffic. 0 = full memory "
+                        "(reference semantics)")
     p.add_argument("--val_sradius", type=int, default=1,
                    help="power-method spectral radius during validation "
                         "(psignn; 150 VJPs per val batch, as the reference)")
@@ -95,7 +100,8 @@ def build_model_cfg(args):
                             bc_mode=args.variant, solver=args.solver,
                             fw_tol=args.fw_tol, fw_thres=args.fw_thres,
                             bw_tol=args.bw_tol, bw_thres=args.bw_thres,
-                            lowrank_bf16=args.lowrank_bf16)
+                            lowrank_bf16=args.lowrank_bf16,
+                            lowrank_max_rank=args.lowrank_max_rank)
     if args.family == "dsgps":
         return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
                            gamma=args.gamma, bc_mode=args.variant)

@@ -64,12 +64,16 @@ class DEQConfig(NamedTuple):
     bw_tol: float = 1e-8
     bw_thres: int = 300
     lowrank_bf16: bool = False
+    lowrank_max_rank: int = 0  # >0: L-BFGS-style Broyden rank cap
 
 
 def _solver_kwargs(cfg: "DEQConfig") -> dict:
+    kw = {}
     if cfg.solver == "broyden" and cfg.lowrank_bf16:
-        return {"lowrank_dtype": jnp.bfloat16}
-    return {}
+        kw["lowrank_dtype"] = jnp.bfloat16
+    if cfg.solver == "broyden" and cfg.lowrank_max_rank > 0:
+        kw["max_rank"] = cfg.lowrank_max_rank
+    return kw
 
 
 def fixed_point_forward(f: Callable, params, h_init, graph, cfg: DEQConfig,

@@ -176,9 +176,32 @@ def mp_from_blocks(mlp_params: List[Params], h: jax.Array,
 def fused_message_passing(mlp_params: List[Params], h: jax.Array,
                           blocks: MPBlocks, latent_dim: int,
                           interpret: bool = False) -> jax.Array:
-    """Differentiable fused message passing: Pallas MXU kernel forward,
-    XLA-recompute backward (custom_vjp; a dedicated backward kernel is a
-    planned optimization)."""
+    """Differentiable fused message passing: Pallas MXU kernels both ways.
+
+    Forward and first-order backward (the DEQ implicit solve's hot VJP)
+    run as Pallas kernels; the backward carries its own custom_vjp that
+    differentiates the XLA oracle, so second-order uses (grad of the
+    Hutchinson jac loss through ``jax.vjp``, psignn/model.py:416-435)
+    stay exact."""
+
+    @jax.custom_vjp
+    def _mp_bwd(params, hh, g):
+        return _fused_mp_bwd_kernel(params, hh, blocks, g, latent_dim,
+                                    interpret)
+
+    def _mp_bwd_fwd(params, hh, g):
+        return _mp_bwd(params, hh, g), (params, hh, g)
+
+    def _mp_bwd_bwd(res, cot):
+        params, hh, g = res
+        def oracle_vjp(p, x, gg):
+            _, vjp_fn = jax.vjp(lambda pp, xx: mp_from_blocks(pp, xx, blocks),
+                                p, x)
+            return vjp_fn(gg)
+        _, vjp2 = jax.vjp(oracle_vjp, params, hh, g)
+        return vjp2(cot)
+
+    _mp_bwd.defvjp(_mp_bwd_fwd, _mp_bwd_bwd)
 
     @jax.custom_vjp
     def _mp(params, hh):
@@ -189,9 +212,7 @@ def fused_message_passing(mlp_params: List[Params], h: jax.Array,
 
     def _bwd(res, g):
         params, hh = res
-        _, vjp_fn = jax.vjp(lambda p, x: mp_from_blocks(p, x, blocks),
-                            params, hh)
-        return vjp_fn(g)
+        return _mp_bwd(params, hh, g)
 
     _mp.defvjp(_fwd, _bwd)
     return _mp(mlp_params, h)
@@ -342,3 +363,188 @@ def _fused_mp_kernel(mlp_params: List[Params], h: jax.Array,
     )(blocks.win_start, haT, aggl2, othl2, eaT3, mask2,
       w1cT, b1c, w2T, b2c, hbT)
     return jnp.pad(outT, ((0, 0), (0, blocks.n_node_cap - n_blocks * BLOCK_N))).T
+
+
+def _fused_mp_bwd_kernel(mlp_params: List[Params], h: jax.Array,
+                         blocks: MPBlocks, g: jax.Array, latent_dim: int,
+                         interpret: bool = False):
+    """Dedicated backward kernel: given the output cotangent ``g``
+    (n_node_cap, d_out), produce (param grads, dh) of the fused MP.
+
+    Recomputes the pre-activations per block (same window DMA as the
+    forward — cheaper than saving (Dh, E) activations to HBM), then runs
+    the reverse chain as the same one-hot MXU dots with swapped
+    contraction sides.  Per-block outputs: ``dhaT`` columns are disjoint
+    (standard blocked output); ``dhbT`` windows overlap across blocks so
+    each block emits its (Dh, W) window and a segment-sum outside combines
+    them; parameter grads accumulate in VMEM across the sequential grid."""
+    D = latent_dim
+    w1 = mlp_params[0]["w"]
+    b1 = mlp_params[0]["b"]
+    w2 = mlp_params[1]["w"]
+    b2 = mlp_params[1]["b"]
+    w1a, w1b, w1c = w1[:D], w1[D:2 * D], w1[2 * D:]
+    dh_w = w1.shape[1]
+    d_out = w2.shape[1]
+    edge_dim = w1.shape[0] - 2 * D
+
+    hi_prec = jax.lax.Precision.HIGHEST
+    dh_pad = -(-dh_w // 8) * 8
+    pad = dh_pad - dh_w
+    haT = jnp.pad(jnp.dot(h, w1a, precision=hi_prec).T, ((0, pad), (0, 0)))
+    hbT = jnp.pad(jnp.dot(h, w1b, precision=hi_prec).T, ((0, pad), (0, 0)))
+    w1cT = jnp.pad(w1c.T, ((0, pad), (0, 0)))
+    b1c = jnp.pad(b1.reshape(-1, 1), ((0, pad), (0, 0)))
+    w2T = jnp.pad(w2.T, ((0, 0), (0, pad)))          # (d_out, Dh_pad)
+
+    n_blocks, e_cap = blocks.agg_local.shape
+    W = blocks.window
+    rows = n_blocks * BLOCK_N
+
+    aggl2 = blocks.agg_local[:, None, :]
+    othl2 = blocks.oth_local[:, None, :]
+    mask2 = blocks.mask[:, None, :]
+    eaT3 = jnp.swapaxes(blocks.edge_attr, 1, 2)
+    gT = g.T[:, :rows]                               # (d_out, rows)
+
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):    # (m,k)@(k,n)
+        return jnp.dot(a, b, preferred_element_type=f32, precision=hi)
+
+    def mm_nt(a, b):  # (m,k),(n,k) -> (m,n)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+
+    def mm_tn(a, b):  # (k,m),(k,n) -> (m,n)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+
+    def kernel(ws_ref, haT_ref, gT_ref, aggl_ref, othl_ref, eaT_ref,
+               mask_ref, w1cT_ref, b1_ref, w2T_ref, hbT_ref,
+               dhaT_ref, dwin_ref, dw2T_ref, db2_ref, dw1cT_ref, db1_ref,
+               hbT_wins, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def win_copy(block_idx, buf_slot):
+            ws = pl.multiple_of(ws_ref[block_idx], BLOCK_N)
+            return pltpu.make_async_copy(hbT_ref.at[:, pl.ds(ws, W)],
+                                         hbT_wins.at[buf_slot],
+                                         sems.at[buf_slot])
+
+        @pl.when(i == 0)
+        def _first():
+            win_copy(0, slot).start()
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            win_copy(i + 1, nxt).start()
+
+        win_copy(i, slot).wait()
+        hbT_win = hbT_wins.at[slot]
+
+        @pl.when(i == 0)
+        def _init_accs():
+            dw2T_ref[:] = jnp.zeros_like(dw2T_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+            dw1cT_ref[:] = jnp.zeros_like(dw1cT_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+
+        agg_l = aggl_ref[0, 0]
+        oth_l = othl_ref[0, 0]
+        m = mask_ref[0, 0]
+        eaT = eaT_ref[0]
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_N, e_cap), 0)
+        S = (iota_n == agg_l[None, :]).astype(f32)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, e_cap), 0)
+        GT = (iota_w == oth_l[None, :]).astype(f32)
+
+        # forward recompute up to the ReLU mask
+        preT = (mm(haT_ref[:], S) + mm(hbT_win[:], GT)
+                + mm(w1cT_ref[:], eaT) + b1_ref[:])
+        rT = jnp.maximum(preT, 0.0)
+
+        # reverse chain (padding edges have m=0 -> all cotangents zero)
+        dmsgT = mm(gT_ref[:], S) * m[None, :]            # (d_out, E)
+        db2_ref[:] += jnp.sum(dmsgT, axis=1, keepdims=True)
+        dw2T_ref[:] += mm_nt(dmsgT, rT)                  # (d_out, Dh_pad)
+        dpreT = mm_tn(w2T_ref[:], dmsgT)                 # (Dh_pad, E)
+        dpreT = dpreT * (preT > 0).astype(f32)
+        db1_ref[:] += jnp.sum(dpreT, axis=1, keepdims=True)
+        dw1cT_ref[:] += mm_nt(dpreT, eaT)                # (Dh_pad, edge_dim)
+        dhaT_ref[:] = mm_nt(dpreT, S)                    # (Dh_pad, BN)
+        dwin_ref[0] = mm_nt(dpreT, GT)                   # (Dh_pad, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((dh_pad, BLOCK_N), lambda i, ws: (0, i)),  # haT
+            pl.BlockSpec((d_out, BLOCK_N), lambda i, ws: (0, i)),   # gT
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, edge_dim, e_cap), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec((1, 1, e_cap), lambda i, ws: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1cT
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1 col
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2T
+            pl.BlockSpec(memory_space=pl.ANY),       # hbT (manual DMA)
+        ],
+        out_specs=[
+            pl.BlockSpec((dh_pad, BLOCK_N), lambda i, ws: (0, i)),  # dhaT
+            pl.BlockSpec((1, dh_pad, W), lambda i, ws: (i, 0, 0)),  # dwin
+            pl.BlockSpec((d_out, dh_pad), lambda i, ws: (0, 0)),    # dw2T
+            pl.BlockSpec((d_out, 1), lambda i, ws: (0, 0)),         # db2
+            pl.BlockSpec((dh_pad, edge_dim), lambda i, ws: (0, 0)), # dw1cT
+            pl.BlockSpec((dh_pad, 1), lambda i, ws: (0, 0)),        # db1
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, dh_pad, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dhaT, dwin, dw2T, db2c, dw1cT, db1c = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((dh_pad, rows), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, dh_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((d_out, dh_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((dh_pad, edge_dim), jnp.float32),
+            jax.ShapeDtypeStruct((dh_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(blocks.win_start, haT, gT, aggl2, othl2, eaT3, mask2,
+      w1cT, b1c, w2T, hbT)
+
+    n_cap = blocks.n_node_cap
+    # combine the overlapping dhbT windows: segment-sum over global columns
+    cols = (blocks.win_start[:, None]
+            + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+    dhb_rows = jax.ops.segment_sum(
+        jnp.swapaxes(dwin, 1, 2).reshape(n_blocks * W, dh_pad),
+        cols, num_segments=n_cap)                     # (n_cap, Dh_pad)
+    dha_rows = jnp.pad(dhaT.T, ((0, n_cap - rows), (0, 0)))
+
+    dpre_a = dha_rows[:, :dh_w]
+    dpre_b = dhb_rows[:, :dh_w]
+    dh_out = (jnp.dot(dpre_a, w1a.T, precision=hi_prec)
+              + jnp.dot(dpre_b, w1b.T, precision=hi_prec))
+    dW1 = jnp.concatenate([
+        jnp.dot(h.T, dpre_a, precision=hi_prec),
+        jnp.dot(h.T, dpre_b, precision=hi_prec),
+        dw1cT[:dh_w].T,
+    ], axis=0)
+    dparams = [
+        {"w": dW1.astype(w1.dtype), "b": db1c[:dh_w, 0].astype(b1.dtype)},
+        {"w": dw2T.T[:dh_w].astype(w2.dtype), "b": db2c[:, 0].astype(b2.dtype)},
+    ]
+    return dparams, dh_out.astype(h.dtype)

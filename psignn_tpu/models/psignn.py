@@ -46,6 +46,7 @@ class PsignnConfig:
     jac_vecs: int = 1                   # model.py:207 uses vecs=1
     edge_dim: int = 3
     lowrank_bf16: bool = False          # bf16 Broyden rank buffers (TPU perf)
+    lowrank_max_rank: int = 0           # >0: L-BFGS-style Broyden rank cap
 
     @property
     def prb_dim(self) -> int:
@@ -58,7 +59,8 @@ class PsignnConfig:
         return DEQConfig(solver=self.solver, fw_tol=self.fw_tol,
                          fw_thres=self.fw_thres, bw_tol=self.bw_tol,
                          bw_thres=self.bw_thres,
-                         lowrank_bf16=self.lowrank_bf16)
+                         lowrank_bf16=self.lowrank_bf16,
+                         lowrank_max_rank=self.lowrank_max_rank)
 
 
 def psignn_init(key: jax.Array, cfg: PsignnConfig) -> Dict:

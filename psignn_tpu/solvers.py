@@ -243,7 +243,7 @@ def _lr_matmul(a, b):
 
 def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
             stop_mode: str = "rel", keep_trace: bool = False,
-            lowrank_dtype=None) -> SolverResult:
+            lowrank_dtype=None, max_rank: int = 0) -> SolverResult:
     """Broyden quasi-Newton root finder for g(x) = f(x) − x
     (solver.py:116-207, default no line search as the reference calls it).
 
@@ -253,7 +253,14 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
     (see ``_lr_matmul``), and the Broyden *update* vectors u/vᵀ are computed
     in full precision before being stored.  EXPERIMENTAL: the ~0.4 % factor
     error can destabilize long solves (measured: divergence protection trips
-    ≈ step 50 on an 11 k-node mesh — docs/PERF.md "Negative results")."""
+    ≈ step 50 on an 11 k-node mesh — docs/PERF.md "Negative results").
+
+    ``max_rank`` > 0 caps the low-rank memory L-BFGS-style: the newest
+    rank-1 pair overwrites the oldest once ``max_rank`` (rounded up to the
+    step block) pairs are stored, so the inverse-Jacobian estimate uses only
+    the most recent pairs and the per-iteration rank-op HBM traffic is
+    bounded by the cap instead of growing with nstep.  0 = full memory
+    (the reference's semantics, solver.py:185-192)."""
     if stop_mode not in ("rel", "abs"):
         raise ValueError(stop_mode)
     shape = x0.shape
@@ -268,7 +275,8 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
     g = lambda xflat: f(xflat.reshape(shape)).reshape(-1) - xflat
     gx = g(xf)
     B = _LR_BLOCK
-    n_blocks_cap = -(-T // B)
+    R_cap = T if max_rank <= 0 else min(T, -(-max_rank // B) * B)
+    n_blocks_cap = -(-R_cap // B)
     lr_dtype = lowrank_dtype or x0.dtype
     Us = jnp.zeros((n_blocks_cap, B, d), lr_dtype)
     VTs = jnp.zeros((n_blocks_cap, B, d), lr_dtype)
@@ -327,7 +335,7 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         # via the appended pair, matvec_new(x) = matvec_old(x) + u·(vᵀx).
         # This is the dominant late-iteration HBM cost (each live block is
         # ~57 MB at d≈113k), so sweep count ≈ wall-clock.
-        nblk = (nstep + B - 1) // B
+        nblk = jnp.minimum((nstep + B - 1) // B, n_blocks_cap)
         delta_x = x_new - c["x"]
         delta_gx = gx_new - c["gx"]
         rhs2 = jnp.stack([delta_gx, gx_new])                  # (2, d)
@@ -345,6 +353,21 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
             0, nblk, rank_body,
             (jnp.zeros_like(xf, jnp.float32),
              jnp.zeros((2,) + xf.shape, jnp.float32)))
+        # Rank-cap eviction (max_rank): the new pair overwrites the ring
+        # slot of the oldest pair.  For a CONSISTENT limited-memory update,
+        # evict FIRST: subtract the old pair's rank-1 terms from all three
+        # sweep results (cheap vector ops), so vᵀ, the secant denominator,
+        # u, and the next update are all computed under the post-eviction
+        # operator.  Below the cap the slot row is all-zero → exact no-ops,
+        # and the path is bit-identical to full-memory Broyden.
+        slot = (nstep - 1) % R_cap
+        if max_rank > 0:  # static: full-memory never wraps, skip the reads
+            u_old = c["Us"][slot // B, slot % B].astype(x0.dtype)
+            v_old = c["VTs"][slot // B, slot % B].astype(x0.dtype)
+            ra = ra - _vdot(delta_x, u_old) * v_old
+            mv2 = mv2 - jnp.stack([u_old * _vdot(v_old, delta_gx),
+                                   u_old * _vdot(v_old, gx_new)])
+
         vT = (-delta_x + ra).astype(x0.dtype)                 # rmatvec(Δx)
         denom = _vdot(vT, delta_gx)
         mv_dgx = (-delta_gx + mv2[0]).astype(x0.dtype)        # matvec(Δg)
@@ -352,8 +375,8 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         u = (delta_x - mv_dgx) / denom
         vT = jnp.nan_to_num(vT, nan=0.0, posinf=0.0, neginf=0.0)
         u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
-        Us = c["Us"].at[(nstep - 1) // B, (nstep - 1) % B].set(u)
-        VTs = c["VTs"].at[(nstep - 1) // B, (nstep - 1) % B].set(vT)
+        Us = c["Us"].at[slot // B, slot % B].set(u)
+        VTs = c["VTs"].at[slot // B, slot % B].set(vT)
         new_update = -(mv_gx + u * _vdot(vT, gx_new))
 
         c2 = dict(c, x=x_new, gx=gx_new, update=new_update, Us=Us, VTs=VTs,

@@ -128,6 +128,58 @@ def test_fused_mp_gradients_match_ops(graph):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_fused_mp_bwd_kernel_matches_oracle_vjp(graph):
+    """The dedicated backward kernel == jax.vjp of the XLA oracle."""
+    from psignn_tpu.kernels.fused_mp import (_fused_mp_bwd_kernel,
+                                             mp_from_blocks)
+    D = 10
+    params = mlp_init(jax.random.PRNGKey(6), [2 * D + 3, D, D])
+    h = jax.random.normal(jax.random.PRNGKey(7), (graph.n_node_cap, D))
+    g = jax.random.normal(jax.random.PRNGKey(8), (graph.n_node_cap, D))
+    blocks = pack_mp_blocks(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_attr), np.asarray(graph.edge_mask),
+        graph.n_node_cap, "from")
+
+    got = _fused_mp_bwd_kernel(params, h, blocks, g, D, interpret=True)
+    _, vjp_fn = jax.vjp(lambda p, x: mp_from_blocks(p, x, blocks), params, h)
+    want = vjp_fn(g)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mp_second_order_matches_ops(graph):
+    """grad through a vjp (the Hutchinson jac-loss pattern,
+    psignn/model.py:416-435) routes through the backward kernel's own
+    custom_vjp fallback and must equal the pure-ops result."""
+    D = 10
+    params = mlp_init(jax.random.PRNGKey(9), [2 * D + 3, D, D])
+    h = jax.random.normal(jax.random.PRNGKey(10), (graph.n_node_cap, D))
+    v = jax.random.normal(jax.random.PRNGKey(11), (graph.n_node_cap, D))
+    blocks = pack_mp_blocks(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_attr), np.asarray(graph.edge_mask),
+        graph.n_node_cap, "to")
+
+    def jacish_kernel(p, hh):
+        _, vjp_fn = jax.vjp(
+            lambda x: fused_message_passing(p, x, blocks, D, interpret=True),
+            hh)
+        return jnp.sum(vjp_fn(v)[0] ** 2)
+
+    def jacish_ops(p, hh):
+        _, vjp_fn = jax.vjp(
+            lambda x: ops.message_passing(p, x, graph, "to"), hh)
+        return jnp.sum(vjp_fn(v)[0] ** 2)
+
+    gk = jax.grad(jacish_kernel, argnums=(0, 1))(params, h)
+    go = jax.grad(jacish_ops, argnums=(0, 1))(params, h)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(go)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_dss_kernel_path_matches(monkeypatch):
     """DSS forward via the fused kernel (interpret) == the XLA path."""
     import tempfile

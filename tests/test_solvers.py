@@ -167,3 +167,35 @@ def test_broyden_bf16_lowrank_converges():
                                rtol=5e-3, atol=5e-3)
     # within ~2x the iteration count of the f32 run
     assert int(out16.nstep) <= 2 * int(out32.nstep) + 10
+
+
+def test_broyden_max_rank_converges():
+    """L-BFGS-style rank cap: below the cap it is bit-identical to full
+    memory; with the ring wrapping it must still solve the problem."""
+    f, xstar, shape = make_linear(rho=0.9, seed=3)
+    x0 = jnp.zeros(shape)
+    full = broyden(f, x0, threshold=300, eps=1e-9)
+    # cap >= nstep: identical path (no pair is ever evicted; cap rounds up
+    # to the 128-step block so any cap here means one block)
+    capped_hi = broyden(f, x0, threshold=300, eps=1e-9, max_rank=256)
+    np.testing.assert_allclose(np.asarray(capped_hi.result),
+                               np.asarray(full.result), rtol=1e-6, atol=1e-6)
+    assert int(capped_hi.nstep) == int(full.nstep)
+
+
+def test_broyden_max_rank_ring_wraps():
+    """Force the ring to wrap (cap < iterations) and check convergence on a
+    stiffer problem; _LR_BLOCK is monkeypatched small so the test is cheap."""
+    import psignn_tpu.solvers as S
+    orig = S._LR_BLOCK
+    S._LR_BLOCK = 8
+    try:
+        f, xstar, shape = make_linear(n=12, d=4, rho=0.95, seed=4)
+        x0 = jnp.zeros(shape)
+        out = broyden(f, x0, threshold=400, eps=1e-8, max_rank=16)
+        assert int(out.nstep) > 16  # the ring actually wrapped
+        np.testing.assert_allclose(np.asarray(out.result), xstar,
+                                   rtol=2e-3, atol=2e-3)
+        assert not bool(out.prot_break)
+    finally:
+        S._LR_BLOCK = orig

@@ -291,15 +291,19 @@ class GraphLoader:
                 out.append(apply_node_permutation(s, perm))
             self.samples = out
         if self.n_node_cap is None:
-            # one global cap across all batches → a single compiled shape
-            max_nodes = max_edges = 0
-            for i in range(0, len(self.samples), self.batch_size):
-                chunk = self.samples[i:i + self.batch_size]
-                max_nodes = max(max_nodes, sum(s["x"].shape[0] for s in chunk))
-                max_edges = max(max_edges, sum(len(s["senders"]) for s in chunk))
+            # one global cap across all batches → a single compiled shape.
+            # Upper-bound any possible chunk (shuffling re-deals membership
+            # each epoch) by the sum of the `per` largest samples; with DP
+            # the unit is a per-device shard, not the whole batch.
+            per = (self.batch_size if self.n_devices <= 1
+                   else -(-self.batch_size // self.n_devices))
+            nodes = sorted((s["x"].shape[0] for s in self.samples),
+                           reverse=True)
+            edges = sorted((len(s["senders"]) for s in self.samples),
+                           reverse=True)
             from ..graphs import bucket_size
-            self.n_node_cap = bucket_size(max_nodes + 1)
-            self.n_edge_cap = bucket_size(max_edges + 1)
+            self.n_node_cap = bucket_size(sum(nodes[:per]) + 1)
+            self.n_edge_cap = bucket_size(sum(edges[:per]) + 1)
 
     def __len__(self):
         n = len(self.samples)
@@ -335,17 +339,47 @@ class GraphLoader:
                 return
             chunk = [self.samples[j] for j in sel]
             if self.n_devices > 1:
-                if len(chunk) % self.n_devices:
-                    continue  # uneven final batch can't shard evenly
-                import jax
-                import jax.numpy as jnp
-                per = len(chunk) // self.n_devices
-                shards = [batch_graphs(chunk[d * per:(d + 1) * per],
-                                       n_node_cap=self.n_node_cap,
-                                       n_edge_cap=self.n_edge_cap)
-                          for d in range(self.n_devices)]
-                yield jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+                yield self._build_sharded(chunk)
                 continue
             yield batch_graphs(chunk, n_node_cap=self.n_node_cap,
                                n_edge_cap=self.n_edge_cap,
                                pack_kernel_blocks=self.pack_kernel_blocks)
+
+    def _build_sharded(self, chunk) -> PaddedGraph:
+        """Split a batch across n_devices shards, stacked on a leading axis.
+
+        Batches whose size does not divide n_devices are PADDED with
+        zero-node samples up to ``ceil(batch_size / n)·n`` (never dropped);
+        masked empty graphs are exact no-ops in every loss.  Real samples
+        are dealt round-robin so every shard keeps at least one real sample
+        (shard losses are masked means — an all-empty shard would be 0/0).
+        If the final chunk has fewer samples than devices, samples are
+        repeated cyclically (a duplicate weighs that sample twice in the
+        replica-mean for that one step; still strictly better than dropping).
+        """
+        import jax
+        import jax.numpy as jnp
+        n_dev = self.n_devices
+        target = -(-self.batch_size // n_dev) * n_dev
+        if len(chunk) < n_dev:
+            chunk = [chunk[i % len(chunk)] for i in range(n_dev)]
+        empty = _empty_sample(chunk[0])
+        chunk = list(chunk) + [empty] * (target - len(chunk))
+        shards = [chunk[d::n_dev] for d in range(n_dev)]
+        gs = [batch_graphs(s, n_node_cap=self.n_node_cap,
+                           n_edge_cap=self.n_edge_cap,
+                           pack_kernel_blocks=self.pack_kernel_blocks)
+              for s in shards]
+        if self.pack_kernel_blocks:
+            from ..kernels import unify_mp_block_shapes
+            gs = unify_mp_block_shapes(gs)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
+
+
+def _empty_sample(template: GraphSample) -> GraphSample:
+    """A zero-node, zero-edge sample with the template's field widths."""
+    out = {}
+    for k, v in template.items():
+        v = np.asarray(v)
+        out[k] = np.zeros((0,) + v.shape[1:], v.dtype)
+    return out

@@ -17,4 +17,4 @@ and the CPU test oracle.
 """
 
 from .fused_mp import (pack_mp_blocks, fused_message_passing, MPBlocks,
-                       rcm_permutation)
+                       rcm_permutation, pad_mp_blocks, unify_mp_block_shapes)

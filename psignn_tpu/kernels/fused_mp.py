@@ -154,6 +154,57 @@ def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
         win_start=jnp.asarray(win_start), window=W, n_node_cap=n_node_cap)
 
 
+def pad_mp_blocks(b: MPBlocks, n_blocks: int, e_cap: int,
+                  window: int) -> MPBlocks:
+    """Pad an MPBlocks packing to larger (n_blocks, e_cap, window) caps.
+
+    Needed to stack per-device packings on a DP axis: MPBlocks shapes are
+    data-dependent, so shards of one batch must be unified to common caps
+    (padded blocks/edges carry mask 0 → exact no-ops in the kernel).
+    Growing the window keeps ``win_start`` valid by shifting windows that
+    would overrun ``n_node_cap`` left and offsetting ``oth_local`` to match.
+    """
+    nb0, ec0 = b.agg_local.shape
+    n_cap = b.n_node_cap
+    W = min(window, n_cap)
+    if (n_blocks, ec0, W) == (nb0, e_cap, b.window) and e_cap == ec0:
+        return b
+    assert n_blocks >= nb0 and e_cap >= ec0 and W >= b.window, \
+        (n_blocks, nb0, e_cap, ec0, W, b.window)
+    new_ws = jnp.minimum(b.win_start, n_cap - W)
+    delta = (b.win_start - new_ws).astype(jnp.int32)
+    oth = b.oth_local + delta[:, None] * (b.mask > 0)
+
+    def pad2(x):
+        return jnp.pad(x, ((0, n_blocks - nb0), (0, e_cap - ec0)))
+
+    return MPBlocks(
+        agg_local=pad2(b.agg_local), oth_local=pad2(oth.astype(jnp.int32)),
+        edge_attr=jnp.pad(b.edge_attr,
+                          ((0, n_blocks - nb0), (0, e_cap - ec0), (0, 0))),
+        mask=pad2(b.mask),
+        win_start=jnp.pad(new_ws, (0, n_blocks - nb0)).astype(jnp.int32),
+        window=W, n_node_cap=n_cap)
+
+
+def unify_mp_block_shapes(graphs):
+    """Pad every graph's mp_blocks_to/from to common caps so the graphs can
+    be stacked on a leading device axis (dist.dp)."""
+    import dataclasses as _dc
+    out = list(graphs)
+    for attr in ("mp_blocks_to", "mp_blocks_from"):
+        bs = [getattr(g, attr) for g in out]
+        if any(b is None for b in bs):
+            continue
+        nb = max(b.agg_local.shape[0] for b in bs)
+        ec = max(b.agg_local.shape[1] for b in bs)
+        W = max(b.window for b in bs)
+        out = [_dc.replace(g, **{attr: pad_mp_blocks(getattr(g, attr),
+                                                     nb, ec, W)})
+               for g in out]
+    return out
+
+
 def mp_from_blocks(mlp_params: List[Params], h: jax.Array,
                    blocks: MPBlocks) -> jax.Array:
     """Pure-XLA evaluation of the exact same math as the fused kernel,

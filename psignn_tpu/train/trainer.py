@@ -198,10 +198,27 @@ class Trainer:
                     return params, opt_state, loss, aux, gnorm, grads
 
             def val_step(params, graph, rng):
-                # validate on the first shard (metrics only)
-                g0 = jax.tree.map(lambda x: x[0], graph)
-                return self._loss_and_aux(params, g0, rng,
-                                          not self.c.val_sradius)
+                # validate across ALL shards (pmean'd), mirroring dp_loss —
+                # val loss drives the schedulers/early-stop/best-checkpoint
+                # decisions, so it must see the full validation set
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def local(p, g_stacked, r):
+                    g = jax.tree.map(
+                        lambda x: x.reshape(x.shape[1:]) if x.ndim > 0 else x,
+                        g_stacked)
+                    r = jax.random.fold_in(r, jax.lax.axis_index("dp"))
+                    loss, aux = self._loss_and_aux(p, g, r,
+                                                   not self.c.val_sradius)
+                    loss = jax.lax.pmean(loss, "dp")
+                    aux = jax.tree.map(lambda a: jax.lax.pmean(a, "dp"), aux)
+                    return loss, aux
+
+                return shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P("dp"), P()),
+                                 out_specs=(P(), P()),
+                                 check_vma=False)(params, graph, rng)
 
             self._train_step = jax.jit(train_step)
             self._val_step = jax.jit(val_step)

@@ -121,3 +121,51 @@ def test_psignn_dp_full_step(samples):
     assert np.isfinite(float(loss))
     gn = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(grads))
     assert gn > 0 and np.isfinite(gn)
+
+
+def test_sharded_loader_pads_uneven_batches(samples):
+    """Uneven final batches are padded with empty graphs, never dropped."""
+    n = 7
+    loader = GraphLoader(samples[:n], batch_size=4, n_devices=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    real = 0
+    for g in batches:
+        assert g.x.shape[0] == 2              # stacked dp axis
+        assert g.n_nodes.shape == (2, 2)      # per-shard num_graphs constant
+        real += int((np.asarray(g.n_nodes) > 0).sum())
+        # every shard keeps at least one real node (masked-mean safety)
+        assert (np.asarray(g.node_mask).sum(axis=1) > 0).all()
+    assert real == n
+    # node mass conserved: all real nodes appear exactly once
+    want = sum(s["x"].shape[0] for s in samples[:n])
+    got = sum(int(np.asarray(g.node_mask).sum()) for g in batches)
+    assert got == want
+
+
+def test_sharded_loader_forwards_kernel_blocks(samples):
+    loader = GraphLoader(samples[:4], batch_size=4, n_devices=2,
+                         rcm=True, pack_kernel_blocks=True)
+    (g,) = list(loader)
+    assert g.mp_blocks_to is not None and g.mp_blocks_from is not None
+    # stacked block shapes are unified across shards
+    assert g.mp_blocks_to.agg_local.shape[0] == 2
+
+
+def test_pad_mp_blocks_is_noop_math(samples):
+    from psignn_tpu.kernels import pack_mp_blocks, pad_mp_blocks
+    from psignn_tpu.kernels.fused_mp import mp_from_blocks, BLOCK_N
+    g = batch_graphs(samples[:1])
+    blocks = pack_mp_blocks(np.asarray(g.senders), np.asarray(g.receivers),
+                            np.asarray(g.edge_attr), np.asarray(g.edge_mask),
+                            g.n_node_cap, "to")
+    nb, ec = blocks.agg_local.shape
+    padded = pad_mp_blocks(blocks, nb + 2, ec + 128,
+                           min(blocks.window + 2 * BLOCK_N, g.n_node_cap))
+    D = 6
+    params = mlp_init(jax.random.PRNGKey(7), [2 * D + 3, D, D])
+    h = jax.random.normal(jax.random.PRNGKey(8), (g.n_node_cap, D))
+    want = mp_from_blocks(params, h, blocks)
+    got = mp_from_blocks(params, h, padded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -42,26 +42,28 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--min_loss_save", type=float, default=1e10)
-    p.add_argument("--gradient_clip", type=float, default=1e-2)
+    p.add_argument("--gradient_clip", type=float, default=None,
+                   help="default: canonical per family (psignn 0.1, "
+                        "dsgps/dss 0.01)")
     p.add_argument("--stats", type=str, default="reference",
                    choices=["reference", "auto"])
     # optimizers
     p.add_argument("--lr", type=float, default=0.01, help="dsgps/dss lr")
     p.add_argument("--lr_deq", type=float, default=0.01)
     p.add_argument("--sched_step_deq", type=float, default=0.5)
-    p.add_argument("--lr_ae", type=float, default=0.01)
+    p.add_argument("--lr_ae", type=float, default=0.05)
     p.add_argument("--sched_step_ae", type=float, default=0.5)
     # solver / DEQ (psignn)
     p.add_argument("--solver", type=str, default="broyden",
                    choices=["broyden", "forward_iteration", "anderson",
                             "newton", "newton_krylov"])
-    p.add_argument("--jac_weight", type=float, default=0.0)
+    p.add_argument("--jac_weight", type=float, default=1.0)
     p.add_argument("--latent_dim", type=int, default=10)
     p.add_argument("--n_layers", type=int, default=1)
     p.add_argument("--fw_tol", type=float, default=1e-5)
-    p.add_argument("--fw_thres", type=int, default=300)
+    p.add_argument("--fw_thres", type=int, default=500)
     p.add_argument("--bw_tol", type=float, default=1e-8)
-    p.add_argument("--bw_thres", type=int, default=300)
+    p.add_argument("--bw_thres", type=int, default=500)
     # unrolled models (dsgps/dss)
     p.add_argument("--k", type=int, default=30)
     p.add_argument("--alpha", type=float, default=1e-3)
@@ -79,6 +81,9 @@ def get_parser() -> argparse.ArgumentParser:
                         "accumulate). Halves late-iteration HBM traffic but "
                         "can trip the divergence protection on large meshes "
                         "(docs/PERF.md); not used by canonical configs")
+    p.add_argument("--broyden_ls", action="store_true",
+                   help="Armijo line search inside broyden steps "
+                        "(reference broyden(..., ls=True))")
     p.add_argument("--lowrank_max_rank", type=int, default=0,
                    help="cap Broyden's low-rank memory at this many rank-1 "
                         "pairs (ring overwrite, L-BFGS style); bounds the "
@@ -87,9 +92,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_sradius", type=int, default=1,
                    help="power-method spectral radius during validation "
                         "(psignn; 150 VJPs per val batch, as the reference)")
-    p.add_argument("--cache_batches", type=int, default=1,
-                   help="pre-build batches and keep them on device (epochs "
-                        "reshuffle batch order, not membership)")
+    p.add_argument("--cache_batches", type=int, default=0,
+                   help="opt-in perf mode: pre-build batches and keep them "
+                        "on device (epochs reshuffle batch ORDER, not "
+                        "membership — the reference re-deals samples to "
+                        "batches every epoch, so leave off for parity runs)")
     return p
 
 
@@ -101,7 +108,8 @@ def build_model_cfg(args):
                             fw_tol=args.fw_tol, fw_thres=args.fw_thres,
                             bw_tol=args.bw_tol, bw_thres=args.bw_thres,
                             lowrank_bf16=args.lowrank_bf16,
-                            lowrank_max_rank=args.lowrank_max_rank)
+                            lowrank_max_rank=args.lowrank_max_rank,
+                            ls=args.broyden_ls)
     if args.family == "dsgps":
         return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
                            gamma=args.gamma, bc_mode=args.variant)
@@ -148,11 +156,15 @@ def main(argv=None):
                              cache_batches=bool(args.cache_batches),
                              n_devices=n_dev if dp else 0)
 
+    clip = args.gradient_clip
+    if clip is None:
+        # canonical per-family values (launch_slurm.sh / launch.sh)
+        clip = 0.1 if args.family == "psignn" else 0.01
     cfg = TrainConfig(
         family=args.family, model_cfg=build_model_cfg(args),
         max_epochs=args.max_epochs, lr=args.lr, lr_deq=args.lr_deq,
         lr_ae=args.lr_ae, sched_step_deq=args.sched_step_deq,
-        sched_step_ae=args.sched_step_ae, gradient_clip=args.gradient_clip,
+        sched_step_ae=args.sched_step_ae, gradient_clip=clip,
         jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
         path_results=args.path_results, seed=args.seed, data_parallel=dp,
         val_sradius=bool(args.val_sradius))

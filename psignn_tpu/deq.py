@@ -65,6 +65,7 @@ class DEQConfig(NamedTuple):
     bw_thres: int = 300
     lowrank_bf16: bool = False
     lowrank_max_rank: int = 0  # >0: L-BFGS-style Broyden rank cap
+    ls: bool = False           # Broyden Armijo line search (solver.py:156)
 
 
 def _solver_kwargs(cfg: "DEQConfig") -> dict:
@@ -73,6 +74,8 @@ def _solver_kwargs(cfg: "DEQConfig") -> dict:
         kw["lowrank_dtype"] = jnp.bfloat16
     if cfg.solver == "broyden" and cfg.lowrank_max_rank > 0:
         kw["max_rank"] = cfg.lowrank_max_rank
+    if cfg.solver == "broyden" and cfg.ls:
+        kw["ls"] = True
     return kw
 
 

@@ -47,6 +47,7 @@ class PsignnConfig:
     edge_dim: int = 3
     lowrank_bf16: bool = False          # bf16 Broyden rank buffers (TPU perf)
     lowrank_max_rank: int = 0           # >0: L-BFGS-style Broyden rank cap
+    ls: bool = False                    # Broyden Armijo line search
 
     @property
     def prb_dim(self) -> int:
@@ -60,7 +61,8 @@ class PsignnConfig:
                          fw_thres=self.fw_thres, bw_tol=self.bw_tol,
                          bw_thres=self.bw_thres,
                          lowrank_bf16=self.lowrank_bf16,
-                         lowrank_max_rank=self.lowrank_max_rank)
+                         lowrank_max_rank=self.lowrank_max_rank,
+                         ls=self.ls)
 
 
 def psignn_init(key: jax.Array, cfg: PsignnConfig) -> Dict:

@@ -69,17 +69,49 @@ def _safe_norm(v):
 # Picard / forward iteration
 # ---------------------------------------------------------------------------
 
+def _sync_loop(sync: Optional[Callable]):
+    """Tools for running a solver loop on a device mesh where OTHER mesh
+    rows may still be iterating (e.g. dp × partition: each dp row is an
+    independent solve, but collectives inside f rendezvous across the whole
+    mesh, so every device must take the same number of loop trips or the
+    program deadlocks).  ``sync(continue_bool) -> bool`` is a global
+    any-reduce over ALL mesh axes; rows that have already stopped keep
+    executing the body's collectives but FREEZE their carry."""
+    if sync is None:
+        return (lambda cont: cont), (lambda stopped, old, new: new)
+
+    def freeze(stopped, old, new):
+        return jax.tree.map(lambda o, n: jnp.where(stopped, o, n), old, new)
+
+    return sync, freeze
+
+
 def picard(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-5,
-           stop_mode: str = "rel", keep_trace: bool = False) -> SolverResult:
+           stop_mode: str = "rel", keep_trace: bool = False,
+           reduce: Optional[Callable] = None,
+           sync: Optional[Callable] = None) -> SolverResult:
     """Plain fixed-point iteration (solver.py:301-341). Always stops on the
-    relative step norm as the reference does; ``stop_mode`` ignored."""
+    relative step norm as the reference does; ``stop_mode`` ignored.
+
+    ``reduce`` sums scalar partial reductions across a device mesh (pass
+    ``lambda s: lax.psum(s, axis)`` when x0 is a shard of the global state
+    inside shard_map) — stopping tests then see the GLOBAL residual norm,
+    SURVEY.md §5.7's partitioned-solve requirement.  ``sync``: global
+    any-reduce for the loop condition when independent solves share one
+    mesh (see ``_sync_loop``)."""
     del stop_mode
+    red = reduce or (lambda s: s)
+    sync_any, freeze = _sync_loop(sync)
+
+    def norm(a):
+        return jnp.sqrt(red(_vdot(a, a)))
+
     shape = x0.shape
     z0 = x0.reshape(-1)
 
     z1 = f(x0).reshape(-1)
-    abs0 = _norm(z0 - z1)
-    rel0 = abs0 / _norm(z1)
+    abs0 = norm(z0 - z1)
+    rel0 = abs0 / norm(z1)
 
     T = threshold
     abs_trace = jnp.zeros((T + 1,)).at[0].set(abs0)
@@ -90,20 +122,20 @@ def picard(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-5,
         trace = trace.at[0].set(x0).at[1].set(z1.reshape(shape))
 
     def cond(c):
-        return (c["rel"] > eps) & (c["ite"] < T)
+        return sync_any((c["rel"] > eps) & (c["ite"] < T))
 
     def body(c):
         z_prev = c["z"]
         z = f(z_prev.reshape(shape)).reshape(-1)
         ite = c["ite"] + 1
-        ab = _norm(z_prev - z)
-        rel = ab / _norm(z)
+        ab = norm(z_prev - z)
+        rel = ab / norm(z)
         c2 = dict(c, z=z, ite=ite, rel=rel,
                   abs_trace=c["abs_trace"].at[ite].set(ab),
                   rel_trace=c["rel_trace"].at[ite].set(rel))
         if keep_trace:
             c2["trace"] = c["trace"].at[ite + 1].set(z.reshape(shape))
-        return c2
+        return freeze((c["rel"] <= eps) | (c["ite"] >= T), c, c2)
 
     carry = dict(z=z1, ite=jnp.int32(0), rel=rel0,
                  abs_trace=abs_trace, rel_trace=rel_trace)
@@ -132,8 +164,20 @@ forward_iteration = picard
 
 def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
              stop_mode: str = "rel", m: int = 2, lam: float = 1e-4,
-             beta: float = 1.0, keep_trace: bool = False) -> SolverResult:
-    """Anderson acceleration with window m (solver.py:215-293)."""
+             beta: float = 1.0, keep_trace: bool = False,
+             reduce: Optional[Callable] = None,
+             sync: Optional[Callable] = None) -> SolverResult:
+    """Anderson acceleration with window m (solver.py:215-293).
+
+    ``reduce``: cross-device sum of scalar partials (see ``picard``); the
+    normal-equation Gram matrix and the stopping norms become global.
+    ``sync``: global any-reduce for the loop condition (see ``_sync_loop``)."""
+    red = reduce or (lambda s: s)
+    sync_any, freeze = _sync_loop(sync)
+
+    def norm(a):
+        return jnp.sqrt(red(_vdot(a, a)))
+
     shape = x0.shape
     d = x0.size
     T = threshold
@@ -152,7 +196,7 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         trace = jnp.zeros((T + 1,) + shape, x0.dtype).at[0].set(x0)
 
     def cond(c):
-        return (c["k"] < T) & jnp.logical_not(c["done"])
+        return sync_any((c["k"] < T) & jnp.logical_not(c["done"]))
 
     def body(c):
         k = c["k"]
@@ -160,7 +204,7 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         slot = jnp.arange(m)
         valid = slot < n_valid
         G = (c["F"] - c["X"]) * valid[:, None].astype(x0.dtype)
-        GGT = jnp.matmul(G, G.T, precision=_HI)
+        GGT = red(jnp.matmul(G, G.T, precision=_HI))
         H = jnp.zeros((m + 1, m + 1), x0.dtype)
         H = H.at[1:, 1:].set(GGT + lam * jnp.eye(m, dtype=x0.dtype))
         H = H.at[0, 1:].set(valid.astype(x0.dtype))
@@ -179,8 +223,8 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         F = c["F"].at[slot_k].set(fk)
 
         gx = fk - xk
-        ab = _norm(gx)
-        rel = ab / (1e-5 + _norm(fk))
+        ab = norm(gx)
+        rel = ab / (1e-5 + norm(fk))
         diff = rel if stop_mode == "rel" else ab
         better = diff < c["lowest"]
         lowest = jnp.where(better, diff, c["lowest"])
@@ -198,7 +242,7 @@ def anderson(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         if keep_trace:
             # the reference appends the running best each step (solver.py:273)
             c2["trace"] = c["trace"].at[k - 1].set(lowest_x.reshape(shape))
-        return c2
+        return freeze(c["done"] | (c["k"] >= T), c, c2)
 
     carry = dict(X=X, F=F, k=jnp.int32(2), done=jnp.bool_(False),
                  lowest=jnp.array(big, x0.dtype),
@@ -241,9 +285,76 @@ def _lr_matmul(a, b):
                       preferred_element_type=jnp.float32)
 
 
+def _armijo_line_search(g: Callable, x0: jax.Array, gx0: jax.Array,
+                        update: jax.Array, red: Callable,
+                        c1: float = 1e-4, amin: float = 1e-2,
+                        sync: Optional[Callable] = None):
+    """Armijo backtracking on φ(s) = ‖g(x0 + s·update)‖² with derφ0 = −φ0
+    (the reference's heuristic, solver.py:61-94 / scalar_search_armijo
+    :20-59): try s=1, then a quadratic-interpolant step, then cubic
+    interpolation with the reference's halving safeguard until the first
+    Wolfe condition holds or the step falls below ``amin`` (→ s=1 fallback).
+    Returns (x_new, gx_new); each candidate costs one g evaluation."""
+    dt = x0.dtype
+    sync_any, freeze = _sync_loop(sync)
+
+    def phi_eval(s):
+        x = x0 + s * update
+        gx = g(x)
+        nonfin = red(jnp.sum((~jnp.isfinite(gx)).astype(jnp.float32)))
+        ph = jnp.where(nonfin == 0, red(_vdot(gx, gx)), jnp.inf)
+        return ph, x, gx
+
+    phi0 = red(_vdot(gx0, gx0))
+    derphi0 = -phi0
+    phi_1, x_1, gx_1 = phi_eval(jnp.asarray(1.0, dt))
+    ok0 = phi_1 <= phi0 + c1 * derphi0
+
+    # quadratic interpolant minimizer (solver.py:27)
+    alpha1 = -derphi0 / 2.0 / (phi_1 - phi0 - derphi0)
+    phi_a1, _, _ = phi_eval(alpha1)
+
+    def cond(c):
+        return sync_any((~c["done"]) & (c["alpha1"] > amin))
+
+    def body(c):
+        a0, a1 = c["alpha0"], c["alpha1"]
+        pa0, pa1 = c["phi_a0"], c["phi_a1"]
+        factor = a0 ** 2 * a1 ** 2 * (a1 - a0)
+        A = (a0 ** 2 * (pa1 - phi0 - derphi0 * a1)
+             - a1 ** 2 * (pa0 - phi0 - derphi0 * a0)) / factor
+        B2 = (-a0 ** 3 * (pa1 - phi0 - derphi0 * a1)
+              + a1 ** 3 * (pa0 - phi0 - derphi0 * a0)) / factor
+        a2 = (-B2 + jnp.sqrt(jnp.abs(B2 ** 2 - 3 * A * derphi0))) / (3.0 * A)
+        pa2, x2, gx2 = phi_eval(a2)
+        acc = pa2 <= phi0 + c1 * a2 * derphi0
+        # halving safeguard BEFORE the shift, φ value kept from the
+        # pre-safeguard α2 (faithful to solver.py:50-56)
+        a2_next = jnp.where(((a1 - a2) > a1 / 2.0) | ((1 - a2 / a1) < 0.96),
+                            a1 / 2.0, a2)
+        c2 = dict(alpha0=a1, alpha1=a2_next, phi_a0=pa1, phi_a1=pa2,
+                  done=acc,
+                  x=jnp.where(acc, x2, c["x"]),
+                  gx=jnp.where(acc, gx2, c["gx"]))
+        return freeze(c["done"] | (c["alpha1"] <= amin), c, c2)
+
+    carry = dict(alpha0=jnp.asarray(1.0, dt), alpha1=alpha1,
+                 phi_a0=phi_1, phi_a1=phi_a1, done=ok0,
+                 x=x_1, gx=gx_1)
+    out = jax.lax.while_loop(cond, body, carry)
+    # loop exit without acceptance → s = 1.0 fallback (solver.py:85-87),
+    # which is exactly (x_1, gx_1) — already the carry default when the
+    # only acceptance was ok0 or none happened
+    x_new = jnp.where(out["done"], out["x"], x_1)
+    gx_new = jnp.where(out["done"], out["gx"], gx_1)
+    return x_new, gx_new
+
+
 def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
             stop_mode: str = "rel", keep_trace: bool = False,
-            lowrank_dtype=None, max_rank: int = 0) -> SolverResult:
+            lowrank_dtype=None, max_rank: int = 0, ls: bool = False,
+            reduce: Optional[Callable] = None,
+            sync: Optional[Callable] = None) -> SolverResult:
     """Broyden quasi-Newton root finder for g(x) = f(x) − x
     (solver.py:116-207, default no line search as the reference calls it).
 
@@ -260,9 +371,23 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
     step block) pairs are stored, so the inverse-Jacobian estimate uses only
     the most recent pairs and the per-iteration rank-op HBM traffic is
     bounded by the cap instead of growing with nstep.  0 = full memory
-    (the reference's semantics, solver.py:185-192)."""
+    (the reference's semantics, solver.py:185-192).
+
+    ``ls=True`` enables the reference's Armijo line search on each Broyden
+    step (solver.py:156, line_search:61-94).  ``reduce`` sums scalar partial
+    contractions across a device mesh (see ``picard``) so the solver can run
+    on a SHARD of the global state inside shard_map with exact global
+    norms/secant products — the partitioned-solve hook of SURVEY.md §5.7.
+    ``sync``: global any-reduce for the loop condition when independent
+    solves share one mesh (see ``_sync_loop``)."""
     if stop_mode not in ("rel", "abs"):
         raise ValueError(stop_mode)
+    red = reduce or (lambda s: s)
+    sync_any, freeze = _sync_loop(sync)
+
+    def norm(a):
+        return jnp.sqrt(red(_vdot(a, a)))
+
     shape = x0.shape
     d = x0.size
     T = threshold
@@ -287,15 +412,19 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         trace = jnp.zeros((T + 1,) + shape, x0.dtype).at[0].set(x0)
 
     def cond(c):
-        return (c["nstep"] < T) & jnp.logical_not(c["stop"])
+        return sync_any((c["nstep"] < T) & jnp.logical_not(c["stop"]))
 
     def body(c):
-        x_new = c["x"] + c["update"]
-        gx_new = g(x_new)
+        if ls:
+            x_new, gx_new = _armijo_line_search(g, c["x"], c["gx"],
+                                                c["update"], red, sync=sync)
+        else:
+            x_new = c["x"] + c["update"]
+            gx_new = g(x_new)
         nstep = c["nstep"] + 1
 
-        ab = _norm(gx_new)
-        rel = ab / (_norm(gx_new + x_new) + 1e-9)
+        ab = norm(gx_new)
+        rel = ab / (norm(gx_new + x_new) + 1e-9)
         diff = rel if stop_mode == "rel" else ab
         alt = ab if stop_mode == "rel" else rel
 
@@ -343,10 +472,12 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         def rank_body(i, accs):
             ra, mv2 = accs
             Ui, Vi = c["Us"][i], c["VTs"][i]
-            xtu = _lr_matmul(Ui, delta_x.astype(Ui.dtype))    # (B,)
-            ra = ra + _lr_matmul(xtu.astype(Vi.dtype), Vi)    # (d,)
-            vtx = _lr_matmul(Vi, rhs2.T.astype(Vi.dtype))     # (B, 2)
-            mv2 = mv2 + _lr_matmul(vtx.T.astype(Ui.dtype), Ui)  # (2, d)
+            # red(): the u/vᵀ factors are sharded over d in partitioned
+            # mode, so the (B,)/(B,2) contraction coefficients are global
+            xtu = red(_lr_matmul(Ui, delta_x.astype(Ui.dtype)))   # (B,)
+            ra = ra + _lr_matmul(xtu.astype(Vi.dtype), Vi)        # (d,)
+            vtx = red(_lr_matmul(Vi, rhs2.T.astype(Vi.dtype)))    # (B, 2)
+            mv2 = mv2 + _lr_matmul(vtx.T.astype(Ui.dtype), Ui)    # (2, d)
             return (ra, mv2)
 
         ra, mv2 = jax.lax.fori_loop(
@@ -364,12 +495,12 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         if max_rank > 0:  # static: full-memory never wraps, skip the reads
             u_old = c["Us"][slot // B, slot % B].astype(x0.dtype)
             v_old = c["VTs"][slot // B, slot % B].astype(x0.dtype)
-            ra = ra - _vdot(delta_x, u_old) * v_old
-            mv2 = mv2 - jnp.stack([u_old * _vdot(v_old, delta_gx),
-                                   u_old * _vdot(v_old, gx_new)])
+            ra = ra - red(_vdot(delta_x, u_old)) * v_old
+            mv2 = mv2 - jnp.stack([u_old * red(_vdot(v_old, delta_gx)),
+                                   u_old * red(_vdot(v_old, gx_new))])
 
         vT = (-delta_x + ra).astype(x0.dtype)                 # rmatvec(Δx)
-        denom = _vdot(vT, delta_gx)
+        denom = red(_vdot(vT, delta_gx))
         mv_dgx = (-delta_gx + mv2[0]).astype(x0.dtype)        # matvec(Δg)
         mv_gx = (-gx_new + mv2[1]).astype(x0.dtype)           # matvec(g_new), pre-update
         u = (delta_x - mv_dgx) / denom
@@ -377,7 +508,7 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
         u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
         Us = c["Us"].at[slot // B, slot % B].set(u)
         VTs = c["VTs"].at[slot // B, slot % B].set(vT)
-        new_update = -(mv_gx + u * _vdot(vT, gx_new))
+        new_update = -(mv_gx + u * red(_vdot(vT, gx_new)))
 
         c2 = dict(c, x=x_new, gx=gx_new, update=new_update, Us=Us, VTs=VTs,
                   nstep=nstep, abs_trace=abs_trace, rel_trace=rel_trace,
@@ -388,7 +519,7 @@ def broyden(f: Callable, x0: jax.Array, threshold: int = 50, eps: float = 1e-3,
                   stop=converged | plateau | prot)
         if keep_trace:
             c2["trace"] = c["trace"].at[nstep].set(x_new.reshape(shape))
-        return c2
+        return freeze(c["stop"] | (c["nstep"] >= T), c, c2)
 
     carry = dict(x=xf, gx=gx, update=update, Us=Us, VTs=VTs,
                  nstep=jnp.int32(0),

@@ -9,8 +9,13 @@ parallelism via ``torch_geometric.nn.DataParallel``
 * ``partition`` — single-graph parallelism for large meshes: edges sharded
   across devices, per-device partial aggregation + ``psum`` exchange; the
   graph analog of sequence/context parallelism (SURVEY.md §5.7).
+* ``partitioned`` — the composed partitioned Ψ-GNN solve: RCM node shards,
+  per-layer ppermute halo exchange, and the fixed-point solver running on
+  shards with psum'd global stopping norms.
 """
 
 from .dp import (make_mesh, stack_graphs, shard_stacked, dp_value_and_grad,
                  dp_train_step)
 from .partition import partition_message_passing, partition_spmv
+from .partitioned import (build_partitioned_graph, make_partitioned_function,
+                          partitioned_psignn_inference, unpartition)

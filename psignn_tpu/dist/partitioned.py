@@ -1,0 +1,283 @@
+"""Partitioned Ψ-GNN solve: one large mesh sharded across the device mesh.
+
+This composes the pieces SURVEY.md §5.7 calls for into one path (the graph
+analog of sequence/context parallelism):
+
+* nodes are 1-D spatially partitioned after RCM ordering (n_parts shards of
+  n_loc rows each); every edge then connects nodes within ``halo`` positions,
+  so each message-passing step needs only a two-neighbor ``ppermute`` strip
+  exchange (``build_halo_partition``, dist/partition.py);
+* the full DEQ update function (``models/psignn.py:101-139``, reference
+  ``dirichlet/psignn/model.py:263-300``) runs per shard on local rows with
+  one halo exchange per layer shared by its 2–3 directional aggregations;
+* the fixed-point solver (broyden/picard/anderson) runs INSIDE ``shard_map``
+  on the local shard of the global state with ``reduce=psum``: stopping
+  norms, secant products, and rank-update coefficients are global
+  (reference stopping test: ``dirichlet/psignn/utilities/solver.py:162-183``),
+  so the partitioned solve takes the same iterates as the single-device one;
+* the residual ``‖A u − b‖²`` is a partitioned SpMV: halo-aggregated
+  off-diagonal flux + local diagonal, masked-mean psum-reduced
+  (reference ``psignn/model.py:157-167``).
+
+Exactness: segment-sum is associative and padded rows stay zero, so the only
+deviation from the single-device path is float reduction order inside psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..deq import _solver_kwargs
+from ..nn import layer_norm_apply, linear_apply, mlp_apply
+from ..solvers import get_solver
+from .partition import build_halo_partition
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """One mesh partitioned into n_parts row shards (leading axis n_parts).
+
+    Node arrays are (n_parts, n_loc, w); edge dicts hold the
+    ``build_halo_partition`` packing per direction; ``spmv`` is the same
+    packing over the off-diagonal entries of A with a_ij as the edge value,
+    aggregated at senders (A's rows)."""
+
+    x: jax.Array
+    b: jax.Array
+    sol: jax.Array
+    prb_data: jax.Array
+    dir_mask: jax.Array          # (n_parts, n_loc, 1) float
+    node_mask: jax.Array         # (n_parts, n_loc, 1) float
+    diag: jax.Array              # (n_parts, n_loc, 1) diagonal of A
+    mp_to: Dict[str, jax.Array]
+    mp_from: Dict[str, jax.Array]
+    spmv: Dict[str, jax.Array]
+    unit_normal_vector: Optional[jax.Array] = None
+    neu_mask: Optional[jax.Array] = None
+    n_loc: int = dataclasses.field(metadata=dict(static=True), default=0)
+    halo: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_parts: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+def _part_nodes(arr: np.ndarray, n_parts: int, n_loc: int) -> np.ndarray:
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    out = np.zeros((n_parts * n_loc, arr.shape[1]), np.float32)
+    out[: arr.shape[0]] = arr
+    return out.reshape(n_parts, n_loc, arr.shape[1])
+
+
+def build_partitioned_graph(sample: Dict[str, np.ndarray], n_parts: int,
+                            halo: Optional[int] = None) -> PartitionedGraph:
+    """Partition one RCM-ordered psignn sample (reader format) for the
+    partitioned solve.  ``sample`` must already be RCM-permuted
+    (kernels.rcm_permutation + apply_node_permutation) so the bandwidth —
+    hence the halo width — is O(√N)."""
+    s = np.asarray(sample["senders"])
+    r = np.asarray(sample["receivers"])
+    n_nodes = int(np.asarray(sample["x"]).shape[0])
+
+    part = build_halo_partition(s, r, np.asarray(sample["edge_attr"]),
+                                n_nodes, n_parts, halo=halo)
+    n_loc, halo_w = part["n_loc"], part["halo"]
+    # SpMV packing: off-diagonal entries, value = a_ij, aggregated at
+    # senders (direction 'from' in build_halo_partition terms)
+    spart = build_halo_partition(s, r, np.asarray(sample["a_ij"]),
+                                 n_nodes, n_parts, halo=halo_w)
+    assert spart["n_loc"] == n_loc and spart["halo"] == halo_w
+
+    a = np.asarray(sample["a_ij"]).reshape(-1)
+    diag = np.zeros((n_nodes,), np.float32)
+    on_diag = s == r
+    diag[s[on_diag]] = a[on_diag]
+
+    tags = np.asarray(sample["tags"]).reshape(n_nodes, -1)
+    if tags.shape[1] == 1:
+        dir_mask = (tags[:, 0] == 1).astype(np.float32)
+        neu_mask = None
+    else:
+        dir_mask = (tags[:, 1] == 1).astype(np.float32)
+        neu_mask = (tags[:, 2] == 1).astype(np.float32)
+    node_mask = np.ones((n_nodes,), np.float32)
+
+    pn = lambda x: jnp.asarray(_part_nodes(x, n_parts, n_loc))
+    ed = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+    return PartitionedGraph(
+        x=pn(sample["x"]), b=pn(sample["b"]), sol=pn(sample["sol"]),
+        prb_data=pn(sample["prb_data"]),
+        dir_mask=pn(dir_mask * node_mask), node_mask=pn(node_mask),
+        diag=pn(diag),
+        mp_to=ed(part["to"]), mp_from=ed(part["from"]),
+        spmv=ed(spart["from"]),
+        unit_normal_vector=(pn(sample["unit_normal_vector"])
+                            if "unit_normal_vector" in sample else None),
+        neu_mask=pn(neu_mask) if neu_mask is not None else None,
+        n_loc=n_loc, halo=halo_w, n_parts=n_parts)
+
+
+# ------------------------------------------------------------------ local ops
+
+def _halo_exchange(h: jax.Array, halo: int, n_parts: int, axis: str):
+    """(n_loc, D) local rows → (n_loc + 2·halo, D) extended window via two
+    neighbor ppermutes (the ICI strip exchange of SURVEY.md §5.7)."""
+    fwd = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    bwd = [(i, (i - 1) % n_parts) for i in range(n_parts)]
+    left = jax.lax.ppermute(h[-halo:], axis, fwd)
+    right = jax.lax.ppermute(h[:halo], axis, bwd)
+    idx = jax.lax.axis_index(axis)
+    left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+    right = jnp.where(idx == n_parts - 1, jnp.zeros_like(right), right)
+    return jnp.concatenate([left, h, right], axis=0)
+
+
+def _mp_local(mlp_params, h, h_ext, ed):
+    """One directional aggregation on local rows given the extended window
+    (the per-shard body of dist.partition.halo_message_passing)."""
+    xi = jnp.take(h, ed["agg_local"], axis=0)
+    xj = jnp.take(h_ext, ed["oth_local"], axis=0)
+    feats = jnp.concatenate([xi, xj, ed["edge_attr"]], axis=-1)
+    msg = mlp_apply(mlp_params, feats) * ed["mask"][:, None]
+    return jax.ops.segment_sum(msg, ed["agg_local"], num_segments=h.shape[0])
+
+
+def _spmv_local(u, u_ext, ed, diag):
+    """Local rows of A @ u: halo-aggregated off-diagonal + local diagonal."""
+    vals = ed["edge_attr"] * jnp.take(u_ext, ed["oth_local"], axis=0)
+    vals = vals * ed["mask"][:, None]
+    off = jax.ops.segment_sum(vals, ed["agg_local"], num_segments=u.shape[0])
+    return off + diag * u
+
+
+def make_partitioned_function(cfg, n_parts: int, halo: int,
+                              axis: str = "x") -> Callable:
+    """Per-shard Ψ-GNN update function f(params, h, h0, pg_local) -> h'
+    (models/psignn.make_function with halo-exchange message passing).
+    One exchange per layer feeds all of the layer's aggregations."""
+    mixed = cfg.bc_mode == "mixed"
+
+    def f(params, h, h_initial, pg):
+        n_layers = len(params["layers"])
+        for k, layer in enumerate(params["layers"]):
+            h_ext = _halo_exchange(h, halo, n_parts, axis)
+            mp_to = _mp_local(layer["phi_to"], h, h_ext, pg.mp_to)
+            mp_from = _mp_local(layer["phi_from"], h, h_ext, pg.mp_from)
+            concat = jnp.concatenate([h, mp_to, mp_from, pg.prb_data],
+                                     axis=-1)
+            alpha = jax.nn.sigmoid(linear_apply(params["alpha"], concat))
+            update = alpha * mlp_apply(layer["update"], concat)
+            h_next = h + update
+            if mixed:
+                mp_neu = _mp_local(params["phi_neumann"], h, h_ext,
+                                   pg.mp_from)
+                concat_neu = jnp.concatenate(
+                    [h, mp_neu, pg.prb_data, pg.unit_normal_vector], axis=-1)
+                upd_neu = mlp_apply(params["update_neumann"], concat_neu)
+                h_next = jnp.where(pg.neu_mask > 0, upd_neu, h_next)
+            if k == n_layers - 1:
+                h_next = layer_norm_apply(params["laynorm"], h_next)
+            h = jnp.where(pg.dir_mask > 0, h_initial, h_next)
+            h = h * pg.node_mask
+        return h
+
+    return f
+
+
+def _unshard(pg: PartitionedGraph) -> PartitionedGraph:
+    """Drop the leading shard dim of every array leaf (inside shard_map)."""
+    return jax.tree.map(lambda x: x.reshape(x.shape[1:]), pg)
+
+
+def partitioned_residual_local(u, u_ext, pg, red):
+    """Global mean((A u − b)²) over real nodes from local shards."""
+    r = _spmv_local(u, u_ext, pg.spmv, pg.diag) - pg.b
+    num = red(jnp.sum(jnp.square(r) * pg.node_mask))
+    den = red(jnp.sum(pg.node_mask))
+    return num / den
+
+
+def partitioned_psignn_inference(params: Dict, pg: PartitionedGraph,
+                                 cfg, mesh: Mesh, axis: str = "x"):
+    """Full partitioned inference: encoder → fixed point (psum'd stopping
+    norm) → decoder → global residual.  Matches
+    ``models.psignn.psignn_inference`` iterate-for-iterate on one device
+    set; returns (u (n_parts, n_loc, 1), nstep, lowest, residual)."""
+    n_parts, halo = pg.n_parts, pg.halo
+    f = make_partitioned_function(cfg, n_parts, halo, axis)
+    solver = get_solver(cfg.solver)
+    kw = _solver_kwargs(cfg.deq)
+
+    def local(prm, pg_sh):
+        g = _unshard(pg_sh)
+        red = lambda s: jax.lax.psum(s, axis)
+        ae = prm["autoencoder"]
+        h0 = mlp_apply(ae["encoder"], g.x) * g.node_mask
+        out = solver(lambda h: f(prm["function"], h, h0, g), h0,
+                     threshold=cfg.fw_thres, eps=cfg.fw_tol,
+                     reduce=red, **kw)
+        u = mlp_apply(ae["decoder"], out.result) * g.node_mask
+        u_ext = _halo_exchange(u, halo, n_parts, axis)
+        res = partitioned_residual_local(u, u_ext, g, red)
+        return u[None], out.nstep, out.lowest, res
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(), P(), P()),
+        check_vma=False))(params, pg)
+
+
+def partitioned_psignn_inference_dp(params: Dict, pg_stacked,
+                                    cfg, mesh: Mesh, dp_axis: str = "dp",
+                                    axis: str = "x"):
+    """DP × partition on a 2-D mesh: independent graphs sharded over
+    ``dp_axis``, each graph's nodes partitioned over ``axis``.
+
+    ``pg_stacked`` is a tree-stack of PartitionedGraphs with identical
+    static shape (leading dim = dp size).  Collectives: halo ppermutes and
+    stopping-norm psums ride ``axis`` only, so the dp rows solve
+    independently — the multi-host layout where dp spans hosts (DCN) and
+    the partition spans a slice (ICI), SURVEY.md §5.8."""
+    n_parts, halo = pg_stacked.n_parts, pg_stacked.halo
+    f = make_partitioned_function(cfg, n_parts, halo, axis)
+    solver = get_solver(cfg.solver)
+    kw = _solver_kwargs(cfg.deq)
+
+    def local(prm, pg_sh):
+        g = jax.tree.map(lambda x: x.reshape(x.shape[2:]), pg_sh)
+        red = lambda s: jax.lax.psum(s, axis)
+        # the dp rows solve independently but the halo ppermutes rendezvous
+        # across the WHOLE mesh: every device must take the same number of
+        # loop trips, so the loop condition is a global any() over both
+        # axes and already-stopped rows freeze their carry (solvers._sync_loop)
+        sync = lambda b: jax.lax.psum(b.astype(jnp.int32),
+                                      (dp_axis, axis)) > 0
+        ae = prm["autoencoder"]
+        h0 = mlp_apply(ae["encoder"], g.x) * g.node_mask
+        out = solver(lambda h: f(prm["function"], h, h0, g), h0,
+                     threshold=cfg.fw_thres, eps=cfg.fw_tol,
+                     reduce=red, sync=sync, **kw)
+        u = mlp_apply(ae["decoder"], out.result) * g.node_mask
+        u_ext = _halo_exchange(u, halo, n_parts, axis)
+        res = partitioned_residual_local(u, u_ext, g, red)
+        return (u[None, None], out.nstep[None], out.lowest[None], res[None])
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(dp_axis, axis)),
+        out_specs=(P(dp_axis, axis), P(dp_axis), P(dp_axis), P(dp_axis)),
+        check_vma=False))(params, pg_stacked)
+
+
+def unpartition(arr: jax.Array, n_nodes: int) -> jax.Array:
+    """(n_parts, n_loc, w) → (n_nodes, w): undo the partition padding."""
+    flat = arr.reshape(-1, arr.shape[-1])
+    return flat[:n_nodes]

@@ -91,3 +91,59 @@ def test_halo_partition_on_real_mesh():
     # halo is much smaller than a partition (bandwidth-limited)
     assert part["halo"] < part["n_loc"]
     assert part["halo"] < mesh.n_points // 4
+
+
+# ---------------------------------------------------------------- composed
+
+def _rcm_sample(n_mesh_nodes_hint=900, seed=7):
+    from psignn_tpu.data.meshgen import blob_mesh
+    from psignn_tpu.data.fem import solve_poisson
+    from psignn_tpu.data.reader import psignn_sample_from_fem
+    from psignn_tpu.kernels import rcm_permutation
+    from psignn_tpu.kernels.fused_mp import apply_node_permutation
+    rng = np.random.default_rng(seed)
+    mesh = blob_mesh(radius=1.0, hsize=0.055, rng=rng)
+    s = psignn_sample_from_fem(solve_poisson(mesh, 1.0, rng))
+    perm = rcm_permutation(s["senders"], s["receivers"], s["x"].shape[0])
+    return apply_node_permutation(s, perm)
+
+
+@pytest.mark.parametrize("solver", ["broyden", "forward_iteration"])
+def test_partitioned_solve_matches_single_device(solver):
+    """The flagship composition (SURVEY §5.7): a partitioned DEQ solve with
+    per-layer halo exchange and psum'd stopping norms must reproduce the
+    single-device solve's result, residual, and iteration count."""
+    from psignn_tpu.dist import (build_partitioned_graph, make_mesh,
+                                 partitioned_psignn_inference, unpartition)
+    from psignn_tpu.graphs import batch_graphs
+    from psignn_tpu.models import PsignnConfig, psignn_init, psignn_inference
+    from psignn_tpu.ops import residual_loss
+
+    sample = _rcm_sample()
+    n_nodes = sample["x"].shape[0]
+    cfg = PsignnConfig(solver=solver, fw_tol=1e-4, fw_thres=120)
+    params = psignn_init(jax.random.PRNGKey(0), cfg)
+
+    # single-device oracle on the padded batch-of-one
+    g = batch_graphs([sample])
+    u1, nstep1, lowest1 = jax.jit(
+        lambda p, gg: psignn_inference(p, gg, cfg))(params, g)
+    res1 = residual_loss(u1, g)
+
+    # 8-way partitioned solve
+    mesh = make_mesh(8, axis="x")
+    pg = build_partitioned_graph(sample, n_parts=8)
+    u8, nstep8, lowest8, res8 = partitioned_psignn_inference(
+        params, pg, cfg, mesh, axis="x")
+    u8 = unpartition(u8, n_nodes)
+
+    # f32 reduction-order differences compound over the rank-1 updates, so
+    # the two runs are distinct eps-solutions of the same fixed point:
+    # both must CONVERGE (not plateau/diverge) within a couple of steps of
+    # each other, and agree on the solution and its residual
+    assert abs(int(nstep8) - int(nstep1)) <= 3
+    assert float(lowest8) < cfg.fw_tol and float(lowest1) < cfg.fw_tol
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(u1)[:n_nodes],
+                               rtol=1e-2, atol=2e-2)
+    np.testing.assert_allclose(float(res8), float(res1),
+                               rtol=1e-3, atol=1e-6)

@@ -1,0 +1,90 @@
+"""Multi-host runtime helpers + 2-D (dp x partition) mesh composition."""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psignn_tpu.dist import multihost
+
+
+def test_initialize_noop_single_host(monkeypatch):
+    """num_processes <= 1 (or unset) must be a no-op, not an error."""
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    multihost.initialize()            # no args: no-op
+    multihost.initialize(num_processes=1)
+    assert multihost.is_coordinator()
+
+
+def test_initialize_real_distributed_runtime():
+    """jax.distributed.initialize with one process in a subprocess (the
+    single-process degenerate case of the multi-host runtime: coordinator
+    service comes up, process_count/process_index are served by it)."""
+    code = """
+import jax
+from psignn_tpu.dist import multihost
+multihost.initialize(coordinator_address="localhost:12391",
+                     num_processes=1, process_id=0)
+assert jax.process_count() == 1
+assert multihost.is_coordinator()
+print("DIST_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd="/root/repo",
+        env={"PATH": "/usr/local/bin:/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"})
+    assert "DIST_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_global_mesh():
+    m = multihost.global_mesh()
+    assert m.devices.size == len(jax.devices())
+
+
+def test_dp_times_partition_2d_mesh():
+    """Mesh(('dp','x')): 2 independent graphs DP-sharded, each partitioned
+    over 4 devices — the layout where dp spans hosts and the partition
+    spans a slice.  Each dp row must match its own single-device solve."""
+    from jax.sharding import Mesh
+    from psignn_tpu.data.meshgen import blob_mesh
+    from psignn_tpu.data.fem import solve_poisson
+    from psignn_tpu.data.reader import psignn_sample_from_fem
+    from psignn_tpu.dist.partitioned import (build_partitioned_graph,
+                                             partitioned_psignn_inference_dp,
+                                             unpartition)
+    from psignn_tpu.graphs import batch_graphs
+    from psignn_tpu.kernels import rcm_permutation
+    from psignn_tpu.kernels.fused_mp import apply_node_permutation
+    from psignn_tpu.models import PsignnConfig, psignn_init, psignn_inference
+
+    rng = np.random.default_rng(11)
+    mesh_geo = blob_mesh(radius=1.0, hsize=0.11, rng=rng)
+    # two RHS samples on the SAME mesh -> identical static partition shape
+    samples = []
+    for _ in range(2):
+        s = psignn_sample_from_fem(solve_poisson(mesh_geo, 1.0, rng))
+        perm = rcm_permutation(s["senders"], s["receivers"], s["x"].shape[0])
+        samples.append(apply_node_permutation(s, perm))
+    n_nodes = samples[0]["x"].shape[0]
+
+    cfg = PsignnConfig(solver="broyden", fw_tol=1e-4, fw_thres=60)
+    params = psignn_init(jax.random.PRNGKey(0), cfg)
+
+    pgs = [build_partitioned_graph(s, n_parts=4) for s in samples]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pgs)
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "x"))
+    u, nstep, lowest, res = partitioned_psignn_inference_dp(
+        params, stacked, cfg, mesh2d)
+
+    for i, s in enumerate(samples):
+        g = batch_graphs([s])
+        u1, nstep1, lowest1 = psignn_inference(params, g, cfg)
+        ui = unpartition(u[i], n_nodes)
+        assert abs(int(nstep[i]) - int(nstep1)) <= 3
+        np.testing.assert_allclose(np.asarray(ui),
+                                   np.asarray(u1)[:n_nodes],
+                                   rtol=1e-2, atol=2e-2)

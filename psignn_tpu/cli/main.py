@@ -120,6 +120,15 @@ def build_model_cfg(args):
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
+    # persistent compile cache (first Mosaic/XLA compile of a training step
+    # is minutes; restarts and resumes should not pay it again)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.getcwd(), ".jax_cache"))
+    except Exception:
+        pass
+
     from psignn_tpu.data.reader import GraphLoader, load_dataset, split_dataset
     from psignn_tpu.train import Trainer, TrainConfig
 

@@ -343,7 +343,8 @@ class GraphLoader:
                 continue
             yield batch_graphs(chunk, n_node_cap=self.n_node_cap,
                                n_edge_cap=self.n_edge_cap,
-                               pack_kernel_blocks=self.pack_kernel_blocks)
+                               pack_kernel_blocks=self.pack_kernel_blocks,
+                               pack_quantized=True)
 
     def _build_sharded(self, chunk) -> PaddedGraph:
         """Split a batch across n_devices shards, stacked on a leading axis.
@@ -368,12 +369,47 @@ class GraphLoader:
         shards = [chunk[d::n_dev] for d in range(n_dev)]
         gs = [batch_graphs(s, n_node_cap=self.n_node_cap,
                            n_edge_cap=self.n_edge_cap,
-                           pack_kernel_blocks=self.pack_kernel_blocks)
+                           pack_kernel_blocks=self.pack_kernel_blocks,
+                           pack_quantized=True)
               for s in shards]
         if self.pack_kernel_blocks:
             from ..kernels import unify_mp_block_shapes
             gs = unify_mp_block_shapes(gs)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
+
+
+def prefetch(iterable, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    Batch building (numpy packing + RCM/kernel packing) is host work that
+    otherwise serializes with device dispatch; a depth-2 prefetch overlaps
+    it with the device's execution of the previous steps (numpy releases
+    the GIL on large-array ops)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+    err = []
+
+    def worker():
+        try:
+            for x in iterable:
+                q.put(x)
+        except BaseException as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is END:
+            break
+        yield x
+    if err:
+        raise err[0]
 
 
 def _empty_sample(template: GraphSample) -> GraphSample:

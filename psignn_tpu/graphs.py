@@ -152,6 +152,7 @@ def batch_graphs(
     edge_multiple: int = 1024,
     dtype=np.float32,
     pack_kernel_blocks: bool = False,
+    pack_quantized: bool = False,
 ) -> PaddedGraph:
     """Pack a list of per-sample numpy dicts into one PaddedGraph.
 
@@ -223,9 +224,9 @@ def batch_graphs(
         else:
             ea_for_pack = edge_feat("edge_attr", 3)
         mp_to = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,
-                               cap_n, "to")
+                               cap_n, "to", quantize=pack_quantized)
         mp_from = pack_mp_blocks(senders, receivers, ea_for_pack, edge_mask,
-                                 cap_n, "from")
+                                 cap_n, "from", quantize=pack_quantized)
 
     return PaddedGraph(
         mp_blocks_to=mp_to,

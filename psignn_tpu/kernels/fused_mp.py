@@ -87,12 +87,17 @@ class MPBlocks:
 def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
                    edge_attr: np.ndarray, edge_mask: np.ndarray,
                    n_node_cap: int, direction: str,
-                   window: Optional[int] = None) -> MPBlocks:
+                   window: Optional[int] = None,
+                   quantize: bool = False) -> MPBlocks:
     """Sort+pack edges by aggregation node for the fused kernel.
 
     ``direction='to'`` aggregates at receivers (x_i = receiver),
     ``'from'`` at senders — matching ops.message_passing.  Self-loop and
-    masked edges are dropped here (exact no-ops in the fallback too)."""
+    masked edges are dropped here (exact no-ops in the fallback too).
+
+    ``quantize=True`` rounds the data-dependent shapes (n_blocks, e_cap,
+    window) up to coarse buckets so reshuffled training batches share one
+    compiled program instead of recompiling the pallas_call per batch."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     edge_attr = np.asarray(edge_attr)
@@ -114,6 +119,9 @@ def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
     # steps each (32 % of grid steps on the 11 k-node headline mesh)
     n_blocks = max(1, int(np.max(np.nonzero(counts)[0])) + 1) \
         if counts.any() else 1
+    if quantize:
+        e_cap = int(-(-e_cap // 256) * 256)
+        n_blocks = min(n_node_cap // BLOCK_N, -(-n_blocks // 8) * 8)
 
     edge_dim = ea.shape[1]
     agg_local = np.zeros((n_blocks, e_cap), np.int32)
@@ -140,6 +148,8 @@ def pack_mp_blocks(senders: np.ndarray, receivers: np.ndarray,
         max_need = max(max_need, o_max - ws + 1)
 
     W = window or int(-(-max_need // BLOCK_N) * BLOCK_N)
+    if quantize and window is None:
+        W = int(-(-W // 256) * 256)
     if W < max_need:
         raise ValueError(f"window {W} < required {max_need}; "
                          "re-order nodes (RCM) or raise window")

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..graphs import PaddedGraph
 from ..nn import layer_norm_init, mlp_apply, mlp_init
-from ..ops import message_passing, mse_masked, residual_loss
+from ..ops import (message_passing, mse_masked, mse_masked_stacked,
+                   residual_loss, residual_loss_stacked)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,29 +141,43 @@ def dsgps_forward(params: Dict, graph: PaddedGraph, cfg: DsgpsConfig) -> DsgpsOu
     def body(H, it):
         H_next = _step(params, cfg, graph, H, H0)
         U_next = _dec_apply(ae, H_next) * graph.fnode_mask
-        res = residual_loss(U_next, graph)
-        mse = mse_masked(U_next, graph.sol, graph.node_mask)
         enc, auto = _enc_autoenc_losses(params, cfg, graph, H_next, U_next)
-        mse_dir = mse_masked(U_next, graph.sol, dmask)
-        w = cfg.gamma ** (cfg.k - it - 1.0)
-        step_loss = res * w + enc + auto
-        return H_next, dict(res=res, mse=mse, enc=enc, auto=auto,
-                            mse_dir=mse_dir, step_loss=step_loss)
+        return H_next, dict(enc=enc, auto=auto, U=U_next)
 
-    H_final, per_iter = jax.lax.scan(body, H0, jnp.arange(cfg.k, dtype=jnp.float32))
+    from .. import ops
+    if ops.USE_PALLAS_MP and graph.mp_blocks_to is not None:
+        # pallas_call inside lax.scan trips XLA constant lowering (same
+        # workaround as models/dss.py); shared weights, so one kernel shape
+        H, outs = H0, []
+        for it in range(cfg.k):
+            H, out = body(H, jnp.float32(it))
+            outs.append(out)
+        per_iter = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        H_final = H
+    else:
+        H_final, per_iter = jax.lax.scan(
+            body, H0, jnp.arange(cfg.k, dtype=jnp.float32))
     U_final = _dec_apply(ae, H_final) * graph.fnode_mask
 
+    # per-iteration residual/MSE in one stacked sweep (ops docstring)
+    U_stack = per_iter["U"]
+    res_per_iter = residual_loss_stacked(U_stack, graph)
+    mse_per_iter = mse_masked_stacked(U_stack, graph.sol, graph.node_mask)
+    mse_dir_per_iter = mse_masked_stacked(U_stack, graph.sol, dmask)
+    w = cfg.gamma ** (cfg.k - jnp.arange(cfg.k, dtype=jnp.float32) - 1.0)
+
     losses = {
-        "train_loss": jnp.sum(per_iter["step_loss"]),
-        "residual_loss": per_iter["res"][-1],
+        "train_loss": jnp.sum(res_per_iter * w + per_iter["enc"]
+                              + per_iter["auto"]),
+        "residual_loss": res_per_iter[-1],
         "residual_0": res0,
-        "mse_loss": per_iter["mse"][-1],
+        "mse_loss": mse_per_iter[-1],
         "mse_0": mse0,
         "encoder_loss": per_iter["enc"][-1],
         "autoencoder_loss": per_iter["auto"][-1],
-        "mse_dirichlet": per_iter["mse_dir"][-1],
-        "res_per_iter": per_iter["res"],
-        "mse_per_iter": per_iter["mse"],
+        "mse_dirichlet": mse_dir_per_iter[-1],
+        "res_per_iter": res_per_iter,
+        "mse_per_iter": mse_per_iter,
     }
     return DsgpsOutput(u_final=U_final, losses=losses)
 

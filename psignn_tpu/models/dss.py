@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..graphs import PaddedGraph
 from ..nn import mlp_apply, mlp_init
-from ..ops import dss_residual_loss, mse_masked
+from ..ops import (dss_residual_loss, dss_residual_loss_stacked, mse_masked,
+                   mse_masked_stacked)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,9 +92,7 @@ def dss_forward(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> DssOutput:
     res0 = dss_residual_loss(U0, graph)
     mse0 = mse_masked(U0, graph.x, graph.node_mask)
 
-    def body(carry, xs):
-        H, it = carry
-        layer = xs
+    def body(H, layer):
         mess_to = _mp(layer["phi_to"], H, graph, "to")
         mess_from = _mp(layer["phi_from"], H, graph, "from")
         concat = jnp.concatenate(
@@ -101,25 +100,38 @@ def dss_forward(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> DssOutput:
         corr = mlp_apply(layer["psi"], concat)
         H_next = (H + cfg.alpha * corr) * graph.fnode_mask
         U_next = mlp_apply(layer["decoder"], H_next) * graph.fnode_mask
-        res = dss_residual_loss(U_next, graph)
-        mse = mse_masked(U_next, graph.x, graph.node_mask)
-        w = cfg.gamma ** (cfg.k - it - 1.0)
-        return (H_next, it + 1.0), dict(res=res, mse=mse, step_loss=res * w,
-                                        U=U_next)
+        return H_next, U_next
 
-    (H_final, _), per_iter = jax.lax.scan(body, (H0, jnp.float32(0.0)), layers)
-    U_final = per_iter["U"][-1]
+    from .. import ops
+    if ops.USE_PALLAS_MP and graph.mp_blocks_to is not None:
+        # pallas_call inside a scan over stacked params trips XLA constant
+        # lowering; unroll in Python — every layer shares one kernel shape,
+        # so Mosaic compiles once
+        H, Us = H0, []
+        for i in range(cfg.k):
+            layer = jax.tree.map(lambda a: a[i], layers)
+            H, U = body(H, layer)
+            Us.append(U)
+        U_stack = jnp.stack(Us)
+    else:
+        _, U_stack = jax.lax.scan(body, H0, layers)
+
+    # the k per-iteration residuals in ONE stacked sweep (k separate (E,1)
+    # gather/scatter sweeps are launch-bound on TPU — ops docstring)
+    res_per_iter = dss_residual_loss_stacked(U_stack, graph)
+    mse_per_iter = mse_masked_stacked(U_stack, graph.x, graph.node_mask)
+    w = cfg.gamma ** (cfg.k - jnp.arange(cfg.k, dtype=jnp.float32) - 1.0)
 
     losses = {
-        "train_loss": jnp.sum(per_iter["step_loss"]),
-        "residual_loss": per_iter["res"][-1],
+        "train_loss": jnp.sum(res_per_iter * w),
+        "residual_loss": res_per_iter[-1],
         "residual_0": res0,
-        "mse_loss": per_iter["mse"][-1],
+        "mse_loss": mse_per_iter[-1],
         "mse_0": mse0,
-        "res_per_iter": per_iter["res"],
-        "mse_per_iter": per_iter["mse"],
+        "res_per_iter": res_per_iter,
+        "mse_per_iter": mse_per_iter,
     }
-    return DssOutput(u_final=U_final, losses=losses)
+    return DssOutput(u_final=U_stack[-1], losses=losses)
 
 
 def dss_inference(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> jax.Array:
@@ -137,5 +149,12 @@ def dss_inference(params: Dict, graph: PaddedGraph, cfg: DssConfig) -> jax.Array
         U_next = mlp_apply(layer["decoder"], H_next) * graph.fnode_mask
         return H_next, U_next
 
+    from .. import ops
+    if ops.USE_PALLAS_MP and graph.mp_blocks_to is not None:
+        H = H0
+        for i in range(cfg.k):
+            layer = jax.tree.map(lambda a: a[i], layers)
+            H, U = body(H, layer)
+        return U
     _, Us = jax.lax.scan(body, H0, layers)
     return Us[-1]

@@ -119,6 +119,50 @@ def mse_per_graph(a: jax.Array, b: jax.Array, graph: PaddedGraph) -> jax.Array:
     return sums[: graph.num_graphs] / graph.n_nodes.astype(a.dtype)
 
 
+def mse_masked_stacked(A: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+    """(k,) MSE per leading slice: A (k, N, w) vs b (N, w) over mask rows."""
+    m = (mask.astype(A.dtype)[:, None] if mask.ndim == 1
+         else mask.astype(A.dtype))
+    num = jnp.sum(jnp.square(A - b[None]) * m[None], axis=(1, 2))
+    return num / (jnp.sum(m) * (A.shape[-1] if mask.ndim == 1 else 1))
+
+
+def residual_loss_stacked(U: jax.Array, graph: PaddedGraph) -> jax.Array:
+    """(k,) mean((A u_t − b)²): the k per-iteration residuals of an unrolled
+    model in ONE gather/segment-sum sweep with k channels.
+
+    The per-iteration formulation (k separate (E, 1) sweeps, reference
+    dsgps/model.py:97) is scatter-launch-bound on TPU; stacking the iterates
+    as channels amortizes it k-fold for identical math."""
+    u2 = U[..., 0].T                                        # (N, k)
+    vals = graph.a_ij * jnp.take(u2, graph.receivers, axis=0)
+    vals = vals * graph.edge_mask[:, None].astype(u2.dtype)
+    Au = jax.ops.segment_sum(vals, graph.senders,
+                             num_segments=graph.n_node_cap)  # (N, k)
+    r = (Au - graph.b).T[..., None]                          # (k, N, 1)
+    return mse_masked_stacked(r, jnp.zeros((graph.n_node_cap, 1), r.dtype),
+                              graph.node_mask)
+
+
+def dss_residual_loss_stacked(U: jax.Array, graph: PaddedGraph) -> jax.Array:
+    """(k,) BC-encoded residuals (dss/model.py:129-148) in one stacked sweep
+    (see ``residual_loss_stacked``)."""
+    B0 = graph.b_prime[:, 0:1]
+    B1 = graph.b_prime[:, 1:2]
+    B2 = graph.b_prime[:, 2:3]
+    u2 = U[..., 0].T                                        # (N, k)
+    u_i = jnp.take(u2, graph.senders, axis=0)
+    u_j = jnp.take(u2, graph.receivers, axis=0)
+    f_bar = graph.a_ij * (u_j - u_i)
+    f_bar = f_bar * graph.edge_mask[:, None].astype(u2.dtype)
+    f_sum = jax.ops.segment_sum(f_bar, graph.senders,
+                                num_segments=graph.n_node_cap)  # (N, k)
+    p1 = (1.0 - B1) * (-B0) + B1 * (u2 - B2)
+    res = (p1 + f_sum).T[..., None]                          # (k, N, 1)
+    return mse_masked_stacked(res, jnp.zeros((graph.n_node_cap, 1), res.dtype),
+                              graph.node_mask)
+
+
 def dss_residual_loss(u: jax.Array, graph: PaddedGraph) -> jax.Array:
     """BC-encoded gather/scatter residual (dss/model.py:129-148).
 

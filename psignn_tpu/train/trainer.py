@@ -287,7 +287,8 @@ class Trainer:
             pending.clear()
             return {k: float(v) for k, v in zip(LOSS_KEYS, sums)}, n
 
-        for i, graph in enumerate(self.loader_train):
+        from ..data.reader import prefetch
+        for i, graph in enumerate(prefetch(iter(self.loader_train))):
             rng = self._next_rng()
             self.params, self.opt_state, loss, aux, gnorm, grads = \
                 self._train_step(self.params, self.opt_state, graph, rng,
@@ -324,9 +325,10 @@ class Trainer:
                         epoch, *(self.hist_train[k][-1] for k in LOSS_KEYS)))
 
     def validation_loop(self, epoch: int):
+        from ..data.reader import prefetch
         n_batches = len(self.loader_val)
         vecs, srads = [], []
-        for graph in self.loader_val:
+        for graph in prefetch(iter(self.loader_val)):
             rng = self._next_rng()
             loss, aux = self._val_step(self.params, graph, rng)
             vecs.append(jnp.stack([loss] + [aux.get(k, jnp.zeros(()))

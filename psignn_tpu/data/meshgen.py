@@ -11,10 +11,17 @@ family with scipy only:
 3. sample the boundary curve at ~``hsize`` arc-length spacing,
 4. fill the interior with a jittered hexagonal lattice at ``hsize`` pitch,
    dropping points too close to the boundary,
-5. Delaunay-triangulate and keep triangles whose centroid lies inside.
+5. Laplacian-smooth the interior vertices (gmsh smooths by default —
+   without this our FEM stiffness weights had ~1.9x the reference's
+   spread: a_ij std 0.172 vs 0.0924, enough to put the trained nets'
+   normalized inputs out of distribution),
+6. Delaunay-triangulate and keep triangles whose centroid lies inside.
 
-The result is a quality unstructured mesh of the same statistical family
-(node counts at R=1, hsize=0.08 ≈ the reference's ≈490-node meshes).
+Calibration against the reference's published mesh statistics
+(mean nodes 192/487/1825 at r=0.6/1/2, tests/txtresults/psignn_results.csv;
+a_ij mean −0.5838 std 0.0924, dss reader constants): boundary exclusion
+0.35·hsize + 4 smoothing passes lands within ~2 % on node counts and
+brings a_ij std to ≈0.11.
 """
 
 from __future__ import annotations
@@ -99,12 +106,39 @@ def _interior_points(boundary: np.ndarray, hsize: float,
     pts = pts + rng.uniform(-0.12, 0.12, pts.shape) * hsize
     inside = path.contains_points(pts)
     pts = pts[inside]
-    # drop points within 0.6*hsize of the boundary polyline (node spacing)
+    # drop points within 0.35*hsize of the boundary polyline (calibrated
+    # against the reference's node counts — module docstring)
     if len(pts):
         d2 = np.min(
             np.sum((pts[:, None, :] - boundary[None, :, :]) ** 2, axis=-1), axis=1)
-        pts = pts[d2 > (0.6 * hsize) ** 2]
+        pts = pts[d2 > (0.35 * hsize) ** 2]
     return pts
+
+
+def _laplacian_smooth(boundary: np.ndarray, interior: np.ndarray,
+                      passes: int = 4) -> np.ndarray:
+    """Move each interior vertex to the mean of its Delaunay neighbors
+    (boundary fixed), re-triangulating between passes — the element-quality
+    equalizer gmsh applies by default (module docstring calibration)."""
+    if len(interior) == 0 or passes == 0:
+        return interior
+    n_b = len(boundary)
+    path = MplPath(boundary)
+    for _ in range(passes):
+        points = np.concatenate([boundary, interior])
+        tri = Delaunay(points)
+        cent = points[tri.simplices].mean(axis=1)
+        tris = tri.simplices[path.contains_points(cent)]
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+        e = np.concatenate([e, e[:, ::-1]])
+        acc = np.zeros_like(points)
+        cnt = np.zeros(len(points))
+        np.add.at(acc, e[:, 0], points[e[:, 1]])
+        np.add.at(cnt, e[:, 0], 1)
+        new = np.where(cnt[:, None] > 0,
+                       acc / np.maximum(cnt, 1)[:, None], points)
+        interior = new[n_b:]
+    return interior
 
 
 def _finalize_mesh(points: np.ndarray, triangles: np.ndarray,
@@ -138,6 +172,7 @@ def blob_mesh(radius: float = 1.0, hsize: float = 0.08,
     spline = _boundary_spline(radius, nb_bound_points, rng)
     boundary = _sample_boundary(spline, nb_bound_points, hsize)
     interior = _interior_points(boundary, hsize, rng)
+    interior = _laplacian_smooth(boundary, interior)
     points = np.concatenate([boundary, interior], axis=0)
     tri = Delaunay(points)
     cent = points[tri.simplices].mean(axis=1)
@@ -177,6 +212,7 @@ def mixed_blob_mesh(radius: float = 1.0, hsize: float = 0.08,
     bnd_tags = np.where(vert_is_d, tag_dirichlet, tag_neumann).astype(np.int32)
 
     interior = _interior_points(boundary, hsize, rng)
+    interior = _laplacian_smooth(boundary, interior)
     points = np.concatenate([boundary, interior], axis=0)
     tri = Delaunay(points)
     cent = points[tri.simplices].mean(axis=1)
@@ -194,6 +230,7 @@ def circle_mesh(radius: float = 1.0, hsize: float = 0.08,
     theta = np.linspace(0, 2 * np.pi, n_bnd, endpoint=False)
     boundary = radius * np.stack([np.cos(theta), np.sin(theta)], axis=1)
     interior = _interior_points(boundary, hsize, rng)
+    interior = _laplacian_smooth(boundary, interior)
     points = np.concatenate([boundary, interior], axis=0)
     tri = Delaunay(points)
     cent = points[tri.simplices].mean(axis=1)

@@ -111,6 +111,31 @@ def plot_iteration_frames(pos, u_trace, out_dir, prefix="iter",
     return paths
 
 
+def assemble_gif(frame_paths: Sequence[str], out_path: str,
+                 duration_ms: int = 120, loop: int = 0) -> str:
+    """Assemble per-iteration frames into an animated GIF (the reference
+    builds convergence GIFs from its iteration frames,
+    dirichlet/psignn/test/vis.py GIF sections)."""
+    from PIL import Image
+    frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+              for p in frame_paths]
+    if not frames:
+        raise ValueError("no frames to assemble")
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=loop)
+    return out_path
+
+
+def iteration_gif(pos, u_trace, out_path: str, sol=None, every: int = 1,
+                  triangles=None, duration_ms: int = 120) -> str:
+    """One-call GIF of an ``iterative_inference`` trace."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        paths = plot_iteration_frames(pos, u_trace, td, sol=sol, every=every,
+                                      triangles=triangles)
+        return assemble_gif(paths, out_path, duration_ms=duration_ms)
+
+
 def plot_spectral_radius(csv_path: str, out_path: str):
     """Spectral-radius history from the trainer's CSV log
     (utilities/vis.py:836)."""

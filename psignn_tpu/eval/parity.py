@@ -97,7 +97,9 @@ def write_report(summary, path: str):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--radii", type=float, nargs="+", default=[0.6, 1.0])
-    p.add_argument("--n_meshes", type=int, default=3)
+    p.add_argument("--n_meshes", type=int, nargs="+", default=[3],
+                   help="meshes per radius; one value (applied to all radii)"
+                        " or one per radius")
     p.add_argument("--fw_thres", type=int, default=600)
     p.add_argument("--out", type=str, default="PARITY.md")
     p.add_argument("--families", type=str, nargs="+",
@@ -112,8 +114,10 @@ def main(argv=None):
         print("no reference checkpoints found; skipping")
         return
     fams = ("psignn", "dss") if "dss" in preds else ("psignn",)
+    n_meshes = (args.n_meshes[0] if len(args.n_meshes) == 1
+                else args.n_meshes)
     summary = growing_geometry_sweep(preds, radii=args.radii,
-                                     n_meshes=args.n_meshes, families=fams)
+                                     n_meshes=n_meshes, families=fams)
     path = write_report(summary, args.out)
     print("wrote", path)
 

@@ -80,11 +80,13 @@ def test_sample(predictors: Dict[str, Callable], graphs: Dict[str, object],
 def growing_geometry_sweep(
         predictors: Dict[str, Callable],
         radii: Sequence[float] = (0.6, 1.0, 2.0, 4.0, 5.0),
-        n_meshes: int = 3, hsize: float = 0.08, seed: int = 0,
+        n_meshes=3, hsize: float = 0.08, seed: int = 0,
         out_dir: Optional[str] = None,
         families=("psignn", "dss")) -> Dict[str, Dict[float, Dict[str, float]]]:
     """The radius sweep (tests/test_multiple.py:49-121): fresh meshes per
     radius, every predictor evaluated on every mesh; means per radius.
+    ``n_meshes`` is an int, or a sequence matched positionally to ``radii``
+    (e.g. 20 meshes at small radii, 3 at large ones).
 
     Writes ``{name}_results.csv`` per model when ``out_dir`` is given,
     mirroring tests/txtresults/*.csv.
@@ -92,9 +94,13 @@ def growing_geometry_sweep(
     rng = np.random.default_rng(seed)
     acc: Dict[str, Dict[float, List[Dict[str, float]]]] = {
         name: {r: [] for r in radii} for name in predictors}
+    if isinstance(n_meshes, int):
+        counts = {r: n_meshes for r in radii}
+    else:
+        counts = {r: int(c) for r, c in zip(radii, n_meshes)}
 
     for radius in radii:
-        for _ in range(n_meshes):
+        for _ in range(counts[radius]):
             mesh = blob_mesh(radius=radius, hsize=hsize, rng=rng)
             data = build_data(mesh, radius, rng, families=families)
             graphs = {k: batch_graphs([v]) for k, v in data.items()}

@@ -121,7 +121,11 @@ def test_partitioned_solve_matches_single_device(solver):
 
     sample = _rcm_sample()
     n_nodes = sample["x"].shape[0]
-    cfg = PsignnConfig(solver=solver, fw_tol=1e-4, fw_thres=120)
+    # fw_tol must be *reachable* for the stopping step to be well defined:
+    # with an unreachable tol the run ends on the plateau/divergence break,
+    # whose trigger step is chaotic under f32 reduction-order differences
+    # (both runs still land on the same solution — checked below).
+    cfg = PsignnConfig(solver=solver, fw_tol=1e-3, fw_thres=120)
     params = psignn_init(jax.random.PRNGKey(0), cfg)
 
     # single-device oracle on the padded batch-of-one
@@ -137,14 +141,43 @@ def test_partitioned_solve_matches_single_device(solver):
         params, pg, cfg, mesh, axis="x")
     u8 = unpartition(u8, n_nodes)
 
-    # f32 reduction-order differences compound over the iterations, so the
-    # two runs are distinct trajectories of the same solve: the contract is
-    # that they stop at (nearly) the same step with (nearly) the same
-    # stopping norm, solution, and residual
-    assert abs(int(nstep8) - int(nstep1)) <= 3
+    assert abs(int(nstep8) - int(nstep1)) <= 1
     np.testing.assert_allclose(float(lowest8), float(lowest1),
-                               rtol=0.5, atol=1e-6)
+                               rtol=0.05, atol=1e-6)
     np.testing.assert_allclose(np.asarray(u8), np.asarray(u1)[:n_nodes],
-                               rtol=1e-2, atol=2e-2)
+                               rtol=1e-2, atol=2e-3)
     np.testing.assert_allclose(float(res8), float(res1),
-                               rtol=1e-2, atol=1e-6)
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_partitioned_solve_plateau_regime_same_solution():
+    """With an unreachable fw_tol the broyden run ends on the plateau break,
+    whose step index is chaotic under f32 reduction order — partitioned and
+    single-device runs may stop at different steps, but must still agree on
+    the final solution and residual (the quantity the user consumes)."""
+    from psignn_tpu.dist import (build_partitioned_graph, make_mesh,
+                                 partitioned_psignn_inference, unpartition)
+    from psignn_tpu.graphs import batch_graphs
+    from psignn_tpu.models import PsignnConfig, psignn_init, psignn_inference
+    from psignn_tpu.ops import residual_loss
+
+    sample = _rcm_sample()
+    n_nodes = sample["x"].shape[0]
+    cfg = PsignnConfig(solver="broyden", fw_tol=1e-4, fw_thres=120)
+    params = psignn_init(jax.random.PRNGKey(0), cfg)
+
+    g = batch_graphs([sample])
+    u1, _, _ = jax.jit(
+        lambda p, gg: psignn_inference(p, gg, cfg))(params, g)
+    res1 = residual_loss(u1, g)
+
+    mesh = make_mesh(8, axis="x")
+    pg = build_partitioned_graph(sample, n_parts=8)
+    u8, _, _, res8 = partitioned_psignn_inference(
+        params, pg, cfg, mesh, axis="x")
+    u8 = unpartition(u8, n_nodes)
+
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(u1)[:n_nodes],
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(float(res8), float(res1),
+                               rtol=1e-3, atol=1e-6)

@@ -104,7 +104,11 @@ class Trainer:
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self._last_grad_norms: Dict[str, float] = {}
 
-        deq_mod.set_bw_log_hook(self._log_bw_iteration)
+        # jax.debug.callback is unsupported on the axon PJRT tunnel (host
+        # send/recv callbacks); skip the per-backward CSV there rather than
+        # crash the train step. All other metrics CSVs are host-side.
+        if jax.default_backend() != "axon":
+            deq_mod.set_bw_log_hook(self._log_bw_iteration)
         self._build_steps()
         self._dump_model_config()
 

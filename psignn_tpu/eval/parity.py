@@ -67,11 +67,14 @@ def build_predictors(fw_thres: int = 600):
     return preds
 
 
-def write_report(summary, path: str):
+def write_report(summary, path: str, protocol: str = ""):
     lines = ["# PARITY — converted reference checkpoints in psignn_tpu", ""]
     lines.append("Reference models converted via `psignn_tpu.compat` and run "
                  "through this framework's models/solvers on freshly "
                  "generated meshes; baselines from BASELINE.md.")
+    if protocol:
+        lines.append("")
+        lines.append(protocol)
     lines.append("")
     for name, per_radius in summary.items():
         lines.append(f"## {name}")
@@ -118,7 +121,10 @@ def main(argv=None):
                 else args.n_meshes)
     summary = growing_geometry_sweep(preds, radii=args.radii,
                                      n_meshes=n_meshes, families=fams)
-    path = write_report(summary, args.out)
+    proto = ("Protocol: radii {} with {} meshes per radius respectively "
+             "(reference: tests/test_multiple.py, 3 meshes/radius), "
+             "fw_thres {}.".format(args.radii, args.n_meshes, args.fw_thres))
+    path = write_report(summary, args.out, protocol=proto)
     print("wrote", path)
 
 

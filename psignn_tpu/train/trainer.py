@@ -106,8 +106,10 @@ class Trainer:
 
         # jax.debug.callback is unsupported on the axon PJRT tunnel (host
         # send/recv callbacks); skip the per-backward CSV there rather than
-        # crash the train step. All other metrics CSVs are host-side.
-        if jax.default_backend() != "axon":
+        # crash the train step. All other metrics CSVs are host-side. The
+        # tunnel reports platform "tpu", so sniff its platform_version.
+        _pv = getattr(jax.devices()[0].client, "platform_version", "")
+        if "axon" not in _pv:
             deq_mod.set_bw_log_hook(self._log_bw_iteration)
         self._build_steps()
         self._dump_model_config()

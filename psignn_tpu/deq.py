@@ -136,6 +136,62 @@ def _deq_attach_bwd(f, cfg, res, g):
 deq_attach.defvjp(_deq_attach_fwd, _deq_attach_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def deq_attach_dist(f: Callable, cfg: DEQConfig, reduce, sync,
+                    params, h_star, h_init, graph):
+    """``deq_attach`` for a solve living INSIDE ``shard_map``: the backward
+    adjoint fixed-point solve runs with the caller's cross-device ``reduce``
+    (psum of scalar partials over the partition axis) and ``sync`` (global
+    any-reduce loop condition over all mesh axes) hooks, so the adjoint
+    system ``y = Jᵀ y + g`` — whose J contains halo-exchange ppermutes — is
+    solved with globally-consistent stopping norms, mirroring the forward
+    partitioned solve (reference backward hook semantics:
+    ``dirichlet/psignn/model.py:210-225``; SURVEY.md §5.7/5.8)."""
+    return f(params, h_star, h_init, graph)
+
+
+def _deq_attach_dist_fwd(f, cfg, reduce, sync, params, h_star, h_init, graph):
+    new_h = f(params, h_star, h_init, graph)
+    return new_h, (params, h_star, h_init, graph)
+
+
+def _deq_attach_dist_bwd(f, cfg, reduce, sync, res, g):
+    params, h_star, h_init, graph = res
+    _, vjp_fn = jax.vjp(
+        lambda p, h, h0: f(p, h, h0, graph), params, h_star, h_init)
+
+    def adjoint(y):
+        return vjp_fn(y)[1] + g
+
+    solver = get_solver(cfg.solver)
+    out_bw = solver(adjoint, jnp.zeros_like(g),
+                    threshold=cfg.bw_thres, eps=cfg.bw_tol,
+                    reduce=reduce, sync=sync, **_solver_kwargs(cfg))
+    y_star = out_bw.result
+    d_params, _, d_h_init = vjp_fn(y_star)
+    return (d_params, _zero_cotangent(h_star), d_h_init,
+            _zero_cotangent(graph))
+
+
+deq_attach_dist.defvjp(_deq_attach_dist_fwd, _deq_attach_dist_bwd)
+
+
+def jac_loss_probe(f, params, h_star, h_init, graph, v, denom,
+                   reduce=None):
+    """Hutchinson jac loss with an EXPLICIT probe vector ``v`` and an
+    explicit (already globally-reduced) denominator — the shard-local form
+    of ``jac_loss_estimate``: each shard contributes its local ‖vᵀJ‖²
+    partial, summed across the partition axis by ``reduce``.  With the same
+    concatenated probe, equals the single-device estimate exactly
+    (segment-sum associativity; reference model.py:416-435)."""
+    h_star = jax.lax.stop_gradient(h_star)
+    h0_d = jax.lax.stop_gradient(h_init)
+    red = reduce or (lambda s: s)
+    _, vjp_fn = jax.vjp(lambda h: f(params, h, h0_d, graph), h_star)
+    (vJ,) = vjp_fn(v)
+    return red(jnp.sum(jnp.square(vJ))) / denom
+
+
 class DEQOutput(NamedTuple):
     new_h_star: jax.Array
     jac_loss: jax.Array

@@ -18,4 +18,7 @@ from .dp import (make_mesh, stack_graphs, shard_stacked, dp_value_and_grad,
                  dp_train_step)
 from .partition import partition_message_passing, partition_spmv
 from .partitioned import (build_partitioned_graph, make_partitioned_function,
-                          partitioned_psignn_inference, unpartition)
+                          make_partitioned_loss, make_partitioned_train_step,
+                          partitioned_psignn_inference,
+                          partitioned_psignn_inference_dp,
+                          stack_partitioned_graphs, unpartition)

@@ -277,6 +277,127 @@ def partitioned_psignn_inference_dp(params: Dict, pg_stacked,
         check_vma=False))(params, pg_stacked)
 
 
+# ------------------------------------------------------------- training step
+
+def stack_partitioned_graphs(pgs):
+    """Tree-stack PartitionedGraphs (identical static shape) on a leading dp
+    axis for ``partitioned_psignn_inference_dp`` / the partitioned train
+    step.  Production batching must bucket meshes to equal (n_loc, halo,
+    e_cap) first — same contract as graphs.batch_graphs caps."""
+    assert len({(p.n_loc, p.halo, p.n_parts) for p in pgs}) == 1
+    out = jax.tree.map(lambda *xs: jnp.stack(xs), *pgs)
+    return dataclasses.replace(out, n_loc=pgs[0].n_loc, halo=pgs[0].halo,
+                               n_parts=pgs[0].n_parts)
+
+
+def make_partitioned_loss(cfg, n_parts: int, halo: int, mesh: Mesh,
+                          jac_weight: float = 1.0, dp_axis: str = "dp",
+                          axis: str = "x"):
+    """Shard-mapped Ψ-GNN training loss over a dp×partition mesh.
+
+    Returns ``loss_fn(params, pg_stacked, v_stacked) -> (loss, aux)`` where
+    ``pg_stacked`` is a (dp, n_parts, ...) tree-stack and ``v_stacked`` a
+    (dp, n_parts, n_loc, D) Hutchinson probe (padded rows ignored — they
+    produce zero cotangent because the update function masks them).
+
+    Semantics match ``models.psignn.psignn_forward`` + DataParallel's
+    replica-mean (training_class.py:156-159): per-graph losses are global
+    over the partition axis (psum'd partials), then pmean'd over dp.
+    Differentiate THROUGH the returned function (dist/dp.py pattern); the
+    DEQ backward adjoint solve runs inside with the same reduce/sync hooks
+    via ``deq_attach_dist``."""
+    from ..deq import deq_attach_dist, jac_loss_probe
+    f = make_partitioned_function(cfg, n_parts, halo, axis)
+    solver = get_solver(cfg.solver)
+    kw = _solver_kwargs(cfg.deq)
+    deq_cfg = cfg.deq
+
+    def loss_fn(params, pg_stacked, v_stacked):
+        def local(prm, pg_sh, v_sh):
+            g = jax.tree.map(lambda x: x.reshape(x.shape[2:]), pg_sh)
+            v = v_sh.reshape(v_sh.shape[2:])
+            red = lambda s: jax.lax.psum(s, axis)
+            sync = lambda b: jax.lax.psum(b.astype(jnp.int32),
+                                          (dp_axis, axis)) > 0
+            ae = prm["autoencoder"]
+            enc = lambda x: mlp_apply(ae["encoder"], x) * g.node_mask
+            dec = lambda h: mlp_apply(ae["decoder"], h) * g.node_mask
+            h0 = enc(g.x)
+
+            # forward fixed point (data; gradients flow via deq_attach_dist)
+            fp = jax.lax.stop_gradient(prm["function"])
+            h0d = jax.lax.stop_gradient(h0)
+            out_fw = solver(lambda h: f(fp, h, h0d, g), h0d,
+                            threshold=deq_cfg.fw_thres, eps=deq_cfg.fw_tol,
+                            reduce=red, sync=sync, **kw)
+            h_star = out_fw.result
+            new_h = deq_attach_dist(f, deq_cfg, red, sync,
+                                    prm["function"], h_star, h0, g)
+            u = dec(new_h)
+
+            u_ext = _halo_exchange(u, halo, n_parts, axis)
+            res = partitioned_residual_local(u, u_ext, g, red)
+
+            n_real = red(jnp.sum(g.node_mask))
+            D = new_h.shape[-1]
+            jac = jac_loss_probe(f, prm["function"], h_star, h0, g, v,
+                                 denom=n_real * D, reduce=red)
+
+            u_det = jax.lax.stop_gradient(u)
+            h_det = jax.lax.stop_gradient(new_h)
+            mm = lambda a, b, w: red(jnp.sum(jnp.square(a - b)
+                                             * g.node_mask)) / (n_real * w)
+            enc_loss = mm(enc(u_det), h_det, D)
+            auto_loss = mm(dec(jax.lax.stop_gradient(enc(u_det))), u_det, 1)
+            mse = mm(u_det, g.sol, 1)
+
+            loss = (res + jac_weight * jac + enc_loss + auto_loss)
+            aux = {"residual_loss": res, "jacobian_loss": jac,
+                   "encoder_loss": enc_loss, "autoencoder_loss": auto_loss,
+                   "mse_loss": mse,
+                   "fw_nstep": out_fw.nstep.astype(jnp.float32),
+                   "fw_lowest": out_fw.lowest}
+            loss = jax.lax.pmean(loss, dp_axis)
+            aux = jax.tree.map(lambda a: jax.lax.pmean(a, dp_axis), aux)
+            return loss, aux
+
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(dp_axis, axis), P(dp_axis, axis)),
+                         out_specs=(P(), P()),
+                         check_vma=False)(params, pg_stacked, v_stacked)
+
+    return loss_fn
+
+
+def make_partitioned_train_step(cfg, n_parts: int, halo: int, mesh: Mesh,
+                                jac_weight: float = 1.0, clip: float = 0.1,
+                                dp_axis: str = "dp", axis: str = "x"):
+    """Full partitioned Ψ-GNN train step: shard_mapped loss+implicit grads,
+    global-norm clip, dual Adam on replicated params (BASELINE.json
+    config 5 — batched multi-mesh training with partitioned graphs).
+
+    ``step(params, opt_state, pg_stacked, rng, lr_deq, lr_ae) ->
+    (params, opt_state, loss, aux, grad_norm)``; jit it once per shape."""
+    from ..train.optim import adam_update, clip_by_global_norm
+    loss_fn = make_partitioned_loss(cfg, n_parts, halo, mesh, jac_weight,
+                                    dp_axis, axis)
+    def step(params, opt_state, pg_stacked, rng, lr_deq, lr_ae):
+        v = jax.random.normal(
+            rng, pg_stacked.x.shape[:-1] + (cfg.latent_dim,),
+            pg_stacked.x.dtype)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, pg_stacked, v)
+        grads, gnorm = clip_by_global_norm(grads, clip)
+        pf, sd = adam_update(grads["function"], opt_state["deq"],
+                             params["function"], lr_deq)
+        pa, sa = adam_update(grads["autoencoder"], opt_state["ae"],
+                             params["autoencoder"], lr_ae)
+        return ({"function": pf, "autoencoder": pa},
+                {"deq": sd, "ae": sa}, loss, aux, gnorm)
+
+    return step
+
+
 def unpartition(arr: jax.Array, n_nodes: int) -> jax.Array:
     """(n_parts, n_loc, w) → (n_nodes, w): undo the partition padding."""
     flat = arr.reshape(-1, arr.shape[-1])

@@ -218,6 +218,12 @@ def main():
     # docs/PERF.md).  PSIGNN_TPU_BENCH_PALLAS=0 opts out (pure-XLA path).
     use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "1") == "1"
     mode = os.environ.get("PSIGNN_TPU_BENCH_MODE", "inference")
+    # PSIGNN_TPU_BENCH_CPU8=1: force an 8-device virtual CPU mesh (the
+    # axon site install overrides XLA_FLAGS, so the env var alone is not
+    # enough) — used to measure partition-mode scaling without a pod.
+    if os.environ.get("PSIGNN_TPU_BENCH_CPU8", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
     if mode == "train":
         return bench_train_step(use_pallas)
     if mode == "partition":

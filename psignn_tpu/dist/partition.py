@@ -77,9 +77,34 @@ def partition_message_passing(mesh: Mesh, axis: str = "x") -> Callable:
     return mp
 
 
+def _pack_partition_edges(agg: np.ndarray, oth_idx: np.ndarray,
+                          ea: np.ndarray, part: np.ndarray,
+                          n_parts: int, n_loc: int) -> dict:
+    """Pack one edge set into (n_parts, e_cap) rows keyed by the aggregation
+    partition.  ``oth_idx`` is the already-localized source index (into the
+    local block or the extended window, caller's choice)."""
+    counts = np.bincount(part, minlength=n_parts)
+    e_cap = max(8, int(-(-counts.max() // 8) * 8))
+    agg_l = np.zeros((n_parts, e_cap), np.int32)
+    oth_l = np.zeros((n_parts, e_cap), np.int32)
+    ea_p = np.zeros((n_parts, e_cap, ea.shape[1]), np.float32)
+    mask = np.zeros((n_parts, e_cap), np.float32)
+    fill = np.zeros(n_parts, np.int64)
+    for e in range(len(agg)):
+        p = part[e]
+        k = fill[p]
+        fill[p] += 1
+        agg_l[p, k] = agg[e] - p * n_loc
+        oth_l[p, k] = oth_idx[e]
+        ea_p[p, k] = ea[e]
+        mask[p, k] = 1.0
+    return dict(agg_local=agg_l, oth_local=oth_l, edge_attr=ea_p, mask=mask)
+
+
 def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
                          edge_attr: np.ndarray, n_nodes: int,
-                         n_parts: int, halo: Optional[int] = None) -> dict:
+                         n_parts: int, halo: Optional[int] = None,
+                         split_interior: bool = False) -> dict:
     """1-D spatial partition with halo metadata for ``halo_message_passing``.
 
     Nodes must already be RCM-ordered (kernels.rcm_permutation) so that every
@@ -91,6 +116,14 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
     Returns per-partition edge arrays (leading axis ``n_parts``) with
     aggregation indices local to the partition and source indices local to
     the extended window [left halo | local | right halo].
+
+    With ``split_interior=True`` each direction is returned as
+    ``{"int": pack, "bnd": pack}``: interior edges (both endpoints in the
+    same partition, source indexed into the LOCAL block) and boundary edges
+    (source indexed into the extended window).  The split lets the consumer
+    start the halo ppermutes, aggregate the interior edges while the
+    exchange is in flight, and only then touch the received strips —
+    exchange/compute overlap (SURVEY.md §2.5 SP/CP row).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -113,27 +146,22 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
         agg = r if direction == "to" else s
         oth = s if direction == "to" else r
         part = agg // n_loc
-        counts = np.bincount(part, minlength=n_parts)
-        e_cap = max(8, int(-(-counts.max() // 8) * 8))
-        agg_l = np.zeros((n_parts, e_cap), np.int32)
-        oth_l = np.zeros((n_parts, e_cap), np.int32)
-        ea_p = np.zeros((n_parts, e_cap, ea.shape[1]), np.float32)
-        mask = np.zeros((n_parts, e_cap), np.float32)
-        fill = np.zeros(n_parts, np.int64)
-        for e in range(len(agg)):
-            p = part[e]
-            k = fill[p]
-            fill[p] += 1
-            agg_l[p, k] = agg[e] - p * n_loc
-            # extended-window index: [0, halo) = left halo strip
-            ext = oth[e] - (p * n_loc - halo)
-            if not (0 <= ext < n_loc + 2 * halo):
-                raise ValueError("edge exceeds halo window; increase halo")
-            oth_l[p, k] = ext
-            ea_p[p, k] = ea[e]
-            mask[p, k] = 1.0
-        out[direction] = dict(agg_local=agg_l, oth_local=oth_l,
-                              edge_attr=ea_p, mask=mask)
+        ext = oth - (part * n_loc - halo)      # extended-window index
+        if len(ext) and not ((ext >= 0) & (ext < n_loc + 2 * halo)).all():
+            raise ValueError("edge exceeds halo window; increase halo")
+        if split_interior:
+            interior = (oth // n_loc) == part
+            out[direction] = {
+                "int": _pack_partition_edges(
+                    agg[interior], (oth - part * n_loc)[interior],
+                    ea[interior], part[interior], n_parts, n_loc),
+                "bnd": _pack_partition_edges(
+                    agg[~interior], ext[~interior], ea[~interior],
+                    part[~interior], n_parts, n_loc),
+            }
+        else:
+            out[direction] = _pack_partition_edges(
+                agg, ext, ea, part, n_parts, n_loc)
     return out
 
 

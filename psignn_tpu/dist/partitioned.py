@@ -87,7 +87,8 @@ def build_partitioned_graph(sample: Dict[str, np.ndarray], n_parts: int,
     n_nodes = int(np.asarray(sample["x"]).shape[0])
 
     part = build_halo_partition(s, r, np.asarray(sample["edge_attr"]),
-                                n_nodes, n_parts, halo=halo)
+                                n_nodes, n_parts, halo=halo,
+                                split_interior=True)
     n_loc, halo_w = part["n_loc"], part["halo"]
     # SpMV packing: off-diagonal entries, value = a_ij, aggregated at
     # senders (direction 'from' in build_halo_partition terms)
@@ -110,7 +111,7 @@ def build_partitioned_graph(sample: Dict[str, np.ndarray], n_parts: int,
     node_mask = np.ones((n_nodes,), np.float32)
 
     pn = lambda x: jnp.asarray(_part_nodes(x, n_parts, n_loc))
-    ed = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+    ed = lambda d: jax.tree.map(jnp.asarray, d)
     return PartitionedGraph(
         x=pn(sample["x"]), b=pn(sample["b"]), sol=pn(sample["sol"]),
         prb_data=pn(sample["prb_data"]),
@@ -126,9 +127,12 @@ def build_partitioned_graph(sample: Dict[str, np.ndarray], n_parts: int,
 
 # ------------------------------------------------------------------ local ops
 
-def _halo_exchange(h: jax.Array, halo: int, n_parts: int, axis: str):
-    """(n_loc, D) local rows → (n_loc + 2·halo, D) extended window via two
-    neighbor ppermutes (the ICI strip exchange of SURVEY.md §5.7)."""
+def _halo_strips(h: jax.Array, halo: int, n_parts: int, axis: str):
+    """Start the two neighbor ppermutes (the ICI strip exchange of
+    SURVEY.md §5.7) and return the received (left, right) strips.  Callers
+    that aggregate interior edges BEFORE touching the strips give XLA's
+    latency-hiding scheduler independent compute to overlap the
+    collective-permute with."""
     fwd = [(i, (i + 1) % n_parts) for i in range(n_parts)]
     bwd = [(i, (i - 1) % n_parts) for i in range(n_parts)]
     left = jax.lax.ppermute(h[-halo:], axis, fwd)
@@ -136,17 +140,34 @@ def _halo_exchange(h: jax.Array, halo: int, n_parts: int, axis: str):
     idx = jax.lax.axis_index(axis)
     left = jnp.where(idx == 0, jnp.zeros_like(left), left)
     right = jnp.where(idx == n_parts - 1, jnp.zeros_like(right), right)
+    return left, right
+
+
+def _halo_exchange(h: jax.Array, halo: int, n_parts: int, axis: str):
+    """(n_loc, D) local rows → (n_loc + 2·halo, D) extended window."""
+    left, right = _halo_strips(h, halo, n_parts, axis)
     return jnp.concatenate([left, h, right], axis=0)
 
 
-def _mp_local(mlp_params, h, h_ext, ed):
-    """One directional aggregation on local rows given the extended window
-    (the per-shard body of dist.partition.halo_message_passing)."""
+def _gather_mlp_agg(mlp_params, h, src, ed):
+    """One packed edge set: gather → MLP → masked segment-sum onto local
+    rows.  ``src`` is the array ``ed['oth_local']`` indexes (the local block
+    for interior packs, the extended window for boundary packs)."""
     xi = jnp.take(h, ed["agg_local"], axis=0)
-    xj = jnp.take(h_ext, ed["oth_local"], axis=0)
+    xj = jnp.take(src, ed["oth_local"], axis=0)
     feats = jnp.concatenate([xi, xj, ed["edge_attr"]], axis=-1)
     msg = mlp_apply(mlp_params, feats) * ed["mask"][:, None]
     return jax.ops.segment_sum(msg, ed["agg_local"], num_segments=h.shape[0])
+
+
+def _mp_local(mlp_params, h, h_ext, ed):
+    """One directional aggregation: interior edges read the LOCAL block (no
+    dependence on the halo exchange), boundary edges read the extended
+    window — summed after, so interior compute overlaps the ppermutes."""
+    if isinstance(ed, dict) and "int" in ed:
+        out = _gather_mlp_agg(mlp_params, h, h, ed["int"])
+        return out + _gather_mlp_agg(mlp_params, h, h_ext, ed["bnd"])
+    return _gather_mlp_agg(mlp_params, h, h_ext, ed)
 
 
 def _spmv_local(u, u_ext, ed, diag):

@@ -41,6 +41,11 @@ BASELINE_NSTEP = {0.6: 35.0, 1.0: 67.2, 2.0: 199.8, 4.0: 519.8, 5.0: 531.2}
 
 
 def build_predictors(fw_thres: int = 600):
+    """Jitted predictors: one compiled program per (family, graph-shape
+    bucket) — the un-jitted path re-traced the model op-by-op per call,
+    which on the axon tunnel cost seconds of dispatch latency (the 10–20×
+    wall-clock gap PARITY r2 carried)."""
+    import jax
     from psignn_tpu.compat import convert_reference_checkpoint
     from psignn_tpu.models import (DsgpsConfig, DssConfig, PsignnConfig,
                                    dsgps_inference, dss_inference,
@@ -53,17 +58,20 @@ def build_predictors(fw_thres: int = 600):
         cfg = PsignnConfig(solver="broyden", fw_tol=1e-6, fw_thres=fw_thres,
                            bw_thres=fw_thres)
         p = out["params"]
-        preds["psignn"] = functools.partial(psignn_inference, p, cfg=cfg)
+        preds["psignn"] = jax.jit(
+            lambda g, p=p, cfg=cfg: psignn_inference(p, g, cfg))
     if os.path.exists(CKPTS["dsgps"]):
         out = convert_reference_checkpoint(CKPTS["dsgps"], "dsgps")
         cfg = DsgpsConfig(k=100)  # benchmark k→100 (spec_geo_2.py:268)
         p = out["params"]
-        preds["dsgps"] = lambda g, p=p, cfg=cfg: dsgps_inference(p, g, cfg)
+        preds["dsgps"] = jax.jit(
+            lambda g, p=p, cfg=cfg: dsgps_inference(p, g, cfg))
     if os.path.exists(CKPTS["dss"]):
         out = convert_reference_checkpoint(CKPTS["dss"], "dss")
         cfg = DssConfig(k=30)
         p = out["params"]
-        preds["dss"] = lambda g, p=p, cfg=cfg: dss_inference(p, g, cfg)
+        preds["dss"] = jax.jit(
+            lambda g, p=p, cfg=cfg: dss_inference(p, g, cfg))
     return preds
 
 
@@ -107,9 +115,24 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="PARITY.md")
     p.add_argument("--families", type=str, nargs="+",
                    default=["psignn", "dsgps", "dss"])
+    p.add_argument("--pallas", type=int, default=-1,
+                   help="1: fused Pallas MP kernels (default on TPU), "
+                        "0: pure XLA (default on CPU)")
     args = p.parse_args(argv)
 
+    import jax
+    from psignn_tpu import ops
     from psignn_tpu.eval.sweep import growing_geometry_sweep
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__),
+                                       "..", "..", ".jax_cache"))
+    except Exception:
+        pass
+    pallas = (jax.default_backend() not in ("cpu",)
+              if args.pallas < 0 else bool(args.pallas))
+    ops.USE_PALLAS_MP = pallas
 
     preds = build_predictors(args.fw_thres)
     preds = {k: v for k, v in preds.items() if k in args.families}
@@ -120,10 +143,14 @@ def main(argv=None):
     n_meshes = (args.n_meshes[0] if len(args.n_meshes) == 1
                 else args.n_meshes)
     summary = growing_geometry_sweep(preds, radii=args.radii,
-                                     n_meshes=n_meshes, families=fams)
+                                     n_meshes=n_meshes, families=fams,
+                                     pallas=pallas)
     proto = ("Protocol: radii {} with {} meshes per radius respectively "
              "(reference: tests/test_multiple.py, 3 meshes/radius), "
-             "fw_thres {}.".format(args.radii, args.n_meshes, args.fw_thres))
+             "fw_thres {}, jitted predictors, pallas={}. Times are "
+             "on-device wall-clock (host-transfer synchronized), compile "
+             "excluded via warmup.".format(
+                 args.radii, args.n_meshes, args.fw_thres, int(pallas)))
     path = write_report(summary, args.out, protocol=proto)
     print("wrote", path)
 

@@ -12,7 +12,6 @@ write visualization maps.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 
@@ -31,14 +30,13 @@ def load_predictor(ckpt_path: str):
     params = jax.tree.map(lambda x: x, ckpt["params"])
     if family == "psignn":
         cfg = PsignnConfig(**hp)
-        fn = functools.partial(psignn_inference, params, cfg=cfg)
-        predict = lambda g: psignn_inference(params, g, cfg)
+        predict = jax.jit(lambda g: psignn_inference(params, g, cfg))
     elif family == "dsgps":
         cfg = DsgpsConfig(**hp)
-        predict = lambda g: dsgps_inference(params, g, cfg)
+        predict = jax.jit(lambda g: dsgps_inference(params, g, cfg))
     else:
         cfg = DssConfig(**hp)
-        predict = lambda g: dss_inference(params, g, cfg)
+        predict = jax.jit(lambda g: dss_inference(params, g, cfg))
     return predict, family, cfg, params
 
 
@@ -57,7 +55,22 @@ def main(argv=None):
     p.add_argument("--radii", type=float, nargs="+",
                    default=[0.6, 1.0, 2.0, 4.0, 5.0])
     p.add_argument("--n_meshes", type=int, default=3)
+    p.add_argument("--pallas", type=int, default=-1,
+                   help="1: fused Pallas MP kernels (default on TPU), "
+                        "0: pure XLA (default on CPU)")
     args = p.parse_args(argv)
+
+    import jax
+    from psignn_tpu import ops
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__),
+                                       "..", "..", ".jax_cache"))
+    except Exception:
+        pass
+    pallas = (jax.default_backend() not in ("cpu",)
+              if args.pallas < 0 else bool(args.pallas))
+    ops.USE_PALLAS_MP = pallas
 
     from psignn_tpu.data.reader import GraphLoader, load_dataset, split_dataset
     from psignn_tpu.eval.metrics import evaluate_dataset
@@ -84,12 +97,13 @@ def main(argv=None):
     if args.sweep:
         summary = growing_geometry_sweep(
             {family: predict}, radii=args.radii, n_meshes=args.n_meshes,
-            out_dir=args.out or None, families=fams)
+            out_dir=args.out or None, families=fams, pallas=pallas)
         print(json.dumps(summary, indent=2, default=float))
 
     if args.zoo:
         from psignn_tpu.eval.sweep import geometry_zoo_eval
-        zoo = geometry_zoo_eval({family: predict}, families=fams)
+        zoo = geometry_zoo_eval({family: predict}, families=fams,
+                                pallas=pallas)
         print(json.dumps(zoo, indent=2, default=float))
         if args.out:
             with open(os.path.join(args.out, "geometry_zoo.json"), "w") as f:

@@ -27,16 +27,33 @@ from ..graphs import batch_graphs
 from .metrics import errors_batch
 
 
-def build_data(mesh, radius: float, rng=None, families=("psignn", "dss")):
+def build_data(mesh, radius: float, rng=None, families=("psignn", "dss"),
+               pallas: bool = False):
     """FEM-solve one fresh mesh and emit paired psignn+dss graph samples
-    (spec_geo.py:139-224)."""
+    (spec_geo.py:139-224).  With ``pallas=True`` node orders are
+    RCM-permuted so the fused-kernel edge windows stay narrow."""
     s = solve_poisson(mesh, radius, rng)
     out = {}
     if "psignn" in families:
         out["psignn"] = psignn_sample_from_fem(s)
     if "dss" in families:
         out["dss"] = dss_sample_from_fem(s)
+    if pallas:
+        from ..kernels import rcm_permutation
+        from ..kernels.fused_mp import apply_node_permutation
+        for k, smp in out.items():
+            perm = rcm_permutation(smp["senders"], smp["receivers"],
+                                   smp["x"].shape[0])
+            out[k] = apply_node_permutation(smp, perm)
     return out
+
+
+def _batch_for_eval(sample, pallas: bool = False):
+    """One-sample PaddedGraph for the eval path: kernel packings + quantized
+    caps when the Pallas path is on (so same-radius meshes share one
+    compiled program and the predictors hit the jit cache)."""
+    return batch_graphs([sample], pack_kernel_blocks=pallas,
+                        pack_quantized=pallas)
 
 
 def _timed(fn, *args):
@@ -82,7 +99,8 @@ def growing_geometry_sweep(
         radii: Sequence[float] = (0.6, 1.0, 2.0, 4.0, 5.0),
         n_meshes=3, hsize: float = 0.08, seed: int = 0,
         out_dir: Optional[str] = None,
-        families=("psignn", "dss")) -> Dict[str, Dict[float, Dict[str, float]]]:
+        families=("psignn", "dss"),
+        pallas: bool = False) -> Dict[str, Dict[float, Dict[str, float]]]:
     """The radius sweep (tests/test_multiple.py:49-121): fresh meshes per
     radius, every predictor evaluated on every mesh; means per radius.
     ``n_meshes`` is an int, or a sequence matched positionally to ``radii``
@@ -102,8 +120,9 @@ def growing_geometry_sweep(
     for radius in radii:
         for _ in range(counts[radius]):
             mesh = blob_mesh(radius=radius, hsize=hsize, rng=rng)
-            data = build_data(mesh, radius, rng, families=families)
-            graphs = {k: batch_graphs([v]) for k, v in data.items()}
+            data = build_data(mesh, radius, rng, families=families,
+                              pallas=pallas)
+            graphs = {k: _batch_for_eval(v, pallas) for k, v in data.items()}
             res = test_sample(predictors, graphs)
             for name, m in res.items():
                 acc[name][radius].append(m)
@@ -136,7 +155,8 @@ def growing_geometry_sweep(
 
 def geometry_zoo_eval(predictors: Dict[str, Callable], hsize: float = 0.08,
                       seed: int = 0, shapes: Optional[Sequence[str]] = None,
-                      families=("psignn",)) -> Dict[str, Dict[str, Dict[str, float]]]:
+                      families=("psignn",),
+                      pallas: bool = False) -> Dict[str, Dict[str, Dict[str, float]]]:
     """Out-of-distribution generalization over the geometry zoo
     (the tests/special_geo studies): FEM-solve each shape fresh and run
     every predictor. Returns {shape: {model: metrics}}."""
@@ -147,8 +167,8 @@ def geometry_zoo_eval(predictors: Dict[str, Callable], hsize: float = 0.08,
     results = {}
     for name in shapes:
         mesh = build_geometry(name, hsize=hsize)
-        data = build_data(mesh, 1.0, rng, families=families)
-        graphs = {k: batch_graphs([v]) for k, v in data.items()}
+        data = build_data(mesh, 1.0, rng, families=families, pallas=pallas)
+        graphs = {k: _batch_for_eval(v, pallas) for k, v in data.items()}
         results[name] = test_sample(predictors, graphs)
     return results
 

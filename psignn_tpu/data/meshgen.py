@@ -239,3 +239,30 @@ def circle_mesh(radius: float = 1.0, hsize: float = 0.08,
     triangles = tri.simplices[keep].astype(np.int32)
     bnd_tags = np.full(n_bnd, 101, np.int32)
     return _finalize_mesh(points, triangles, n_bnd, bnd_tags)
+
+
+def mesh_from_dolfin_h5(path: str, tag_dirichlet: int = 101) -> Mesh:
+    """Load a DOLFIN-HDF5 mesh (the reference's ``build_mesh`` output
+    format: ``mesh/coordinates``, ``mesh/topology``, ``facet/topology``,
+    ``facet/values``; dirichlet/dataset/build_mesh.py:111-115) into our
+    Mesh container.  Lets the framework evaluate on the reference's own
+    gmsh-generated meshes — e.g. the checked-in
+    ``tests/special_geo/mesh_files/original/mesh.h5`` — isolating
+    mesh-generator statistics from model behavior."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        points = np.asarray(f["mesh/coordinates"])[:, :2].astype(np.float64)
+        triangles = np.asarray(f["mesh/topology"]).astype(np.int32)
+        facets = np.asarray(f["facet/topology"]).astype(np.int64)
+        fvals = np.asarray(f["facet/values"]).astype(np.int64)
+
+    n = points.shape[0]
+    boundary_mask = np.zeros(n, bool)
+    boundary_tag = np.zeros(n, np.int32)
+    tagged = facets[fvals == tag_dirichlet]
+    boundary_mask[np.unique(tagged)] = True
+    boundary_tag[np.unique(tagged)] = tag_dirichlet
+    return Mesh(points=points, triangles=triangles,
+                boundary_mask=boundary_mask, boundary_tag=boundary_tag,
+                boundary_loop=None)

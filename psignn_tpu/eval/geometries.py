@@ -154,6 +154,31 @@ def freeform(hsize=0.08, seed=0, **kw):
                         hsize=hsize, **kw)
 
 
+def freeform_spiky(hsize=0.08, seed=3, **kw):
+    """Higher-frequency free-form outline (the reference's second 2-D
+    free-form family, tests/special_geo/mesh_2d.py: hand-placed spline
+    points with sharper curvature than the smooth blob)."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 2 * np.pi, 512, endpoint=False)
+    r = np.ones_like(t)
+    for k in range(2, 10):
+        r += 0.35 / k * (rng.normal() * np.cos(k * t)
+                         + rng.normal() * np.sin(k * t))
+    r = np.clip(r, 0.45, None)
+    return polygon_mesh(np.stack([r * np.cos(t), r * np.sin(t)], 1),
+                        hsize=hsize, **kw)
+
+
+def freeform_bean(hsize=0.08, **kw):
+    """Non-convex bean/kidney outline (free-form variant with a concave
+    waist, matching the reference zoo's non-star-shaped domains)."""
+    t = np.linspace(0, 2 * np.pi, 512, endpoint=False)
+    r = 1.0 + 0.35 * np.cos(t) - 0.45 * np.cos(2 * t) * 0.5
+    x = r * np.cos(t)
+    y = 0.85 * r * np.sin(t) + 0.25 * np.cos(t) ** 2
+    return polygon_mesh(np.stack([x, y], 1), hsize=hsize, **kw)
+
+
 GEOMETRY_BUILDERS = {
     "square": square,
     "square_with_holes": square_with_holes,
@@ -165,6 +190,8 @@ GEOMETRY_BUILDERS = {
     "car": car,
     "f1_car": f1_car,
     "freeform": freeform,
+    "freeform_spiky": freeform_spiky,
+    "freeform_bean": freeform_bean,
 }
 
 

@@ -174,3 +174,71 @@ def plot_radius_sweep(summary: Dict[str, Dict[float, Dict[str, float]]],
     fig.savefig(out_path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def load_sweep_csv(path: str) -> Dict[float, Dict[str, float]]:
+    """Parse a ``growing_geometry_sweep`` CSV (metric rows × radius cols)."""
+    with open(path) as f:
+        lines = [l.strip().split(",") for l in f if l.strip()]
+    radii = [float(x) for x in lines[0][1:]]
+    out = {r: {} for r in radii}
+    for row in lines[1:]:
+        for r, v in zip(radii, row[1:]):
+            out[r][row[0]] = float(v)
+    return out
+
+
+REF_TIME = {  # tests/txtresults/*_results.csv row 6/9 (BASELINE.md)
+    "psignn": {0.6: 0.089, 1.0: 0.166, 2.0: 0.501, 4.0: 2.13, 5.0: 3.18},
+    "dss": {0.6: 0.048, 1.0: 0.047, 2.0: 0.050, 4.0: 0.051, 5.0: 0.052},
+    "dsgps": {0.6: 0.248, 1.0: 0.255, 2.0: 0.259, 4.0: 0.263, 5.0: 0.278},
+}
+
+
+def plot_radius_comparison(csv_dir: str, out_path: str,
+                           families=("psignn", "dsgps", "dss")):
+    """The comparative figure table (reference ``plot_radius.ipynb`` /
+    ``tests/txtresults/plot_results.ipynb``): per-radius MSE, relative L2,
+    iteration count, and wall-clock for every family, ours (solid) overlaid
+    on the reference's published sweep (dashed)."""
+    import os
+
+    from .parity import BASELINE_MSE, BASELINE_NSTEP
+
+    colors = {"psignn": "#2a7de1", "dsgps": "#e1742a", "dss": "#3cb371"}
+    panels = [("mse", "MSE vs FEM", True), ("rel", "relative L2", True),
+              ("nstep", "fixed-point iterations", False),
+              ("time", "inference wall-clock (s)", True)]
+    fig, axes = plt.subplots(1, 4, figsize=(20, 4))
+    for ax, (metric, title, logy) in zip(axes, panels):
+        for fam in families:
+            path = os.path.join(csv_dir, f"{fam}_results.csv")
+            if not os.path.exists(path):
+                continue
+            data = load_sweep_csv(path)
+            rs = sorted(data)
+            c = colors.get(fam, None)
+            vals = [data[r].get(metric, float("nan")) for r in rs]
+            if metric == "nstep" and fam != "psignn":
+                continue
+            ax.plot(rs, vals, "o-", color=c, label=f"{fam} (ours)")
+            ref = None
+            if metric == "mse":
+                ref = BASELINE_MSE.get(fam)
+            elif metric == "time":
+                ref = REF_TIME.get(fam)
+            elif metric == "nstep" and fam == "psignn":
+                ref = BASELINE_NSTEP
+            if ref:
+                rr = sorted(ref)
+                ax.plot(rr, [ref[r] for r in rr], "s--", color=c,
+                        alpha=0.55, label=f"{fam} (reference)")
+        if logy:
+            ax.set_yscale("log")
+        ax.set_xlabel("radius")
+        ax.set_title(title)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

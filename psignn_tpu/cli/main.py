@@ -92,6 +92,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_sradius", type=int, default=1,
                    help="power-method spectral radius during validation "
                         "(psignn; 150 VJPs per val batch, as the reference)")
+    p.add_argument("--stacked_batch", action="store_true",
+                   help="psignn: vmapped per-graph DEQ solves — each mesh "
+                        "stops at its own tolerance instead of the "
+                        "reference's joint batch norm (single-device only)")
     p.add_argument("--cache_batches", type=int, default=0,
                    help="opt-in perf mode: pre-build batches and keep them "
                         "on device (epochs reshuffle batch ORDER, not "
@@ -155,15 +159,21 @@ def main(argv=None):
         import jax
         n_dev = jax.device_count()
     dp = n_dev > 1
+    stacked = bool(args.stacked_batch) and args.family == "psignn"
+    if stacked and dp:
+        raise SystemExit("--stacked_batch is mutually exclusive with "
+                         "multi-device data parallelism")
     loader_train = GraphLoader(train, batch_size=args.batch_size,
                                shuffle=True, seed=args.seed, rcm=rcm,
                                pack_kernel_blocks=args.pallas,
                                cache_batches=bool(args.cache_batches),
-                               n_devices=n_dev if dp else 0)
+                               n_devices=n_dev if dp else 0,
+                               stacked=stacked)
     loader_val = GraphLoader(val, batch_size=args.batch_size, rcm=rcm,
                              pack_kernel_blocks=args.pallas,
                              cache_batches=bool(args.cache_batches),
-                             n_devices=n_dev if dp else 0)
+                             n_devices=n_dev if dp else 0,
+                             stacked=stacked)
 
     clip = args.gradient_clip
     if clip is None:
@@ -176,7 +186,7 @@ def main(argv=None):
         sched_step_ae=args.sched_step_ae, gradient_clip=clip,
         jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
         path_results=args.path_results, seed=args.seed, data_parallel=dp,
-        val_sradius=bool(args.val_sradius))
+        val_sradius=bool(args.val_sradius), stacked_batch=stacked)
 
     trainer = Trainer(cfg, loader_train, loader_val)
     if args.resume:

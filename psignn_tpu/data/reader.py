@@ -277,6 +277,10 @@ class GraphLoader:
     # Data parallelism: split every batch into n_devices per-device
     # PaddedGraphs stacked on a leading 'dp' axis (consumed by dist.dp).
     n_devices: int = 0
+    # Per-graph stacking: each batch is a (G, n_cap, ...) stack of
+    # single-graph PaddedGraphs (consumed by models.psignn_forward_stacked
+    # — per-graph adaptive stopping instead of one joint batch norm).
+    stacked: bool = False
 
     def __post_init__(self):
         self._epoch = 0
@@ -294,8 +298,10 @@ class GraphLoader:
             # one global cap across all batches → a single compiled shape.
             # Upper-bound any possible chunk (shuffling re-deals membership
             # each epoch) by the sum of the `per` largest samples; with DP
-            # the unit is a per-device shard, not the whole batch.
-            per = (self.batch_size if self.n_devices <= 1
+            # the unit is a per-device shard, not the whole batch; with
+            # per-graph stacking the unit is a single graph.
+            per = (1 if self.stacked
+                   else self.batch_size if self.n_devices <= 1
                    else -(-self.batch_size // self.n_devices))
             nodes = sorted((s["x"].shape[0] for s in self.samples),
                            reverse=True)
@@ -338,6 +344,9 @@ class GraphLoader:
             if self.drop_last and len(sel) < self.batch_size:
                 return
             chunk = [self.samples[j] for j in sel]
+            if self.stacked:
+                yield self._build_stacked(chunk)
+                continue
             if self.n_devices > 1:
                 yield self._build_sharded(chunk)
                 continue
@@ -345,6 +354,27 @@ class GraphLoader:
                                n_edge_cap=self.n_edge_cap,
                                pack_kernel_blocks=self.pack_kernel_blocks,
                                pack_quantized=True)
+
+    def _build_stacked(self, chunk) -> PaddedGraph:
+        """(G, n_cap, ...) stack of single-graph PaddedGraphs — each graph
+        padded to the SAME per-graph caps so every batch (incl. the final
+        partial one, padded by cyclic repetition) shares one jit shape.
+        Consumed by ``psignn_forward_stacked``: the vmapped DEQ gives each
+        mesh its own stopping test (SURVEY.md hard-part #1)."""
+        import jax
+        import jax.numpy as jnp
+        if len(chunk) < self.batch_size:
+            chunk = [chunk[i % len(chunk)]
+                     for i in range(self.batch_size)]
+        gs = [batch_graphs([s], n_node_cap=self.n_node_cap,
+                           n_edge_cap=self.n_edge_cap,
+                           pack_kernel_blocks=self.pack_kernel_blocks,
+                           pack_quantized=True)
+              for s in chunk]
+        if self.pack_kernel_blocks:
+            from ..kernels import unify_mp_block_shapes
+            gs = unify_mp_block_shapes(gs)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
 
     def _build_sharded(self, chunk) -> PaddedGraph:
         """Split a batch across n_devices shards, stacked on a leading axis.

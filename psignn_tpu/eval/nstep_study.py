@@ -67,6 +67,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n_samples", type=int, default=8)
     p.add_argument("--fw_thres", type=int, default=600)
+    p.add_argument("--fw_tol", type=float, default=1e-5)
     p.add_argument("--out", type=str, default="docs/nstep_gap.md")
     p.add_argument("--pallas", type=int, default=0)
     args = p.parse_args(argv)
@@ -75,7 +76,7 @@ def main(argv=None):
     from ..data.meshgen import blob_mesh, circle_mesh, mesh_from_dolfin_h5
     from .parity import BASELINE_NSTEP, build_predictors
 
-    preds = build_predictors(args.fw_thres)
+    preds = build_predictors(args.fw_thres, args.fw_tol)
     if "psignn" not in preds:
         print("reference psignn checkpoint not found; skipping")
         return
@@ -101,7 +102,8 @@ def main(argv=None):
         "# nstep gap root-cause: reference gmsh meshes vs our generator",
         "",
         "Converted reference psignn checkpoint, identical solver settings "
-        f"(broyden, fw_tol 1e-6, fw_thres {args.fw_thres}), "
+        f"(broyden, fw_tol {args.fw_tol}, fw_thres {args.fw_thres} — the "
+        "published protocol's spec_geo_2.py:302-303 values), "
         f"{args.n_samples} RHS draws per mesh.  Reference published mean "
         f"nstep at r=1.0: {BASELINE_NSTEP[1.0]} "
         "(tests/txtresults/psignn_results.csv:7).",

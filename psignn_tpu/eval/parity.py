@@ -40,11 +40,19 @@ BASELINE_MSE = {  # tests/txtresults/*_results.csv row 2 (BASELINE.md)
 BASELINE_NSTEP = {0.6: 35.0, 1.0: 67.2, 2.0: 199.8, 4.0: 519.8, 5.0: 531.2}
 
 
-def build_predictors(fw_thres: int = 600):
+def build_predictors(fw_thres: int = 600, fw_tol: float = 1e-5):
     """Jitted predictors: one compiled program per (family, graph-shape
     bucket) — the un-jitted path re-traced the model op-by-op per call,
     which on the axon tunnel cost seconds of dispatch latency (the 10–20×
-    wall-clock gap PARITY r2 carried)."""
+    wall-clock gap PARITY r2 carried).
+
+    ``fw_tol`` default 1e-5: the published sweep runs ``spec_geo_2``
+    (tests/test_multiple.py:40) whose psignn settings are fw_tol 1e-5 /
+    fw_thres 1500 (spec_geo_2.py:302-303) — NOT spec_geo.py's 1e-6.  The r2
+    parity harness used 1e-6, an order of magnitude tighter than the
+    published protocol, which inflated nstep ~30% at small radii (the
+    "unexplained" gap of VERDICT r2 weak #2; isolated by
+    eval/nstep_study.py on the reference's own gmsh meshes)."""
     import jax
     from psignn_tpu.compat import convert_reference_checkpoint
     from psignn_tpu.models import (DsgpsConfig, DssConfig, PsignnConfig,
@@ -54,8 +62,8 @@ def build_predictors(fw_thres: int = 600):
     preds = {}
     if os.path.exists(CKPTS["psignn"]):
         out = convert_reference_checkpoint(CKPTS["psignn"], "psignn")
-        # benchmark settings: fw_thres 1000, fw_tol 1e-6 (spec_geo.py:292-293)
-        cfg = PsignnConfig(solver="broyden", fw_tol=1e-6, fw_thres=fw_thres,
+        # benchmark settings: fw_tol 1e-5, fw_thres 1500 (spec_geo_2.py:302)
+        cfg = PsignnConfig(solver="broyden", fw_tol=fw_tol, fw_thres=fw_thres,
                            bw_thres=fw_thres)
         p = out["params"]
         preds["psignn"] = jax.jit(
@@ -112,6 +120,7 @@ def main(argv=None):
                    help="meshes per radius; one value (applied to all radii)"
                         " or one per radius")
     p.add_argument("--fw_thres", type=int, default=600)
+    p.add_argument("--fw_tol", type=float, default=1e-5)
     p.add_argument("--out", type=str, default="PARITY.md")
     p.add_argument("--families", type=str, nargs="+",
                    default=["psignn", "dsgps", "dss"])
@@ -134,7 +143,7 @@ def main(argv=None):
               if args.pallas < 0 else bool(args.pallas))
     ops.USE_PALLAS_MP = pallas
 
-    preds = build_predictors(args.fw_thres)
+    preds = build_predictors(args.fw_thres, args.fw_tol)
     preds = {k: v for k, v in preds.items() if k in args.families}
     if not preds:
         print("no reference checkpoints found; skipping")
@@ -147,10 +156,11 @@ def main(argv=None):
                                      pallas=pallas)
     proto = ("Protocol: radii {} with {} meshes per radius respectively "
              "(reference: tests/test_multiple.py, 3 meshes/radius), "
-             "fw_thres {}, jitted predictors, pallas={}. Times are "
+             "fw_thres {}, fw_tol {}, jitted predictors, pallas={}. Times are "
              "on-device wall-clock (host-transfer synchronized), compile "
              "excluded via warmup.".format(
-                 args.radii, args.n_meshes, args.fw_thres, int(pallas)))
+                 args.radii, args.n_meshes, args.fw_thres, args.fw_tol,
+                 int(pallas)))
     path = write_report(summary, args.out, protocol=proto)
     print("wrote", path)
 

@@ -6,6 +6,7 @@ model files (SURVEY.md §1 duplication note).
 """
 
 from .psignn import (PsignnConfig, psignn_init, psignn_forward,
-                     psignn_inference, psignn_iterative_inference)
+                     psignn_forward_stacked, psignn_inference,
+                     psignn_iterative_inference)
 from .dsgps import DsgpsConfig, dsgps_init, dsgps_forward, dsgps_inference
 from .dss import DssConfig, dss_init, dss_forward, dss_inference

@@ -60,6 +60,12 @@ class TrainConfig:
     # shard_map data parallelism over the device mesh; requires loaders
     # built with GraphLoader(n_devices=N) so batches arrive stacked
     data_parallel: bool = False
+    # psignn only: per-graph adaptive DEQ stopping via the vmapped
+    # psignn_forward_stacked; requires GraphLoader(stacked=True) batches.
+    # Replaces the reference's joint-batch residual norm with one stopping
+    # test per mesh (SURVEY.md hard-part #1); mutually exclusive with
+    # data_parallel.
+    stacked_batch: bool = False
 
 
 def count_params(params) -> int:
@@ -161,6 +167,16 @@ class Trainer:
 
     def _loss_and_aux(self, params, graph, rng, training):
         if self.family == "psignn":
+            if self.c.stacked_batch:
+                from ..models import psignn_forward_stacked
+                out = psignn_forward_stacked(params, graph, self.mc, rng,
+                                             training=training)
+                l = out.losses
+                loss = (l["residual_loss"]
+                        + self.c.jac_weight * l["jacobian_loss"]
+                        + l["encoder_loss"] + l["autoencoder_loss"])
+                return loss, {k: v for k, v in l.items()
+                              if k != "fw_nstep_per_graph"}
             out = psignn_forward(params, graph, self.mc, rng, training=training)
             l = out.losses
             loss = (l["residual_loss"] + self.c.jac_weight * l["jacobian_loss"]

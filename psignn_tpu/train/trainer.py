@@ -377,7 +377,10 @@ class Trainer:
     def train_model(self):
         c = self.c
         checkpoint = None
-        for epoch in range(c.max_epochs):
+        # resume continues the epoch numbering where the checkpoint left
+        # off and still stops at the ABSOLUTE max_epochs budget
+        start_epoch = len(self.hist_val["loss"])
+        for epoch in range(start_epoch, c.max_epochs):
             t0 = time.time()
             self.train_loop(epoch)
             self.validation_loop(epoch)

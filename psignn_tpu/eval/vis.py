@@ -242,3 +242,115 @@ def plot_radius_comparison(csv_dir: str, out_path: str,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_sample_panel(pos, u, sol, tags, path, title="", triangles=None):
+    """The reference's paper/poster 4-panel figure (vis.py:23-1266 figure
+    families): FEM ground truth, model solution, absolute error, node
+    types — one mesh, one row."""
+    tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
+           if triangles is not None else _triangulation(pos))
+    u = np.asarray(u).ravel()
+    sol = np.asarray(sol).ravel()
+    fig, axes = plt.subplots(1, 4, figsize=(20, 4.5))
+    for ax, field, name, cmap in (
+            (axes[0], sol, "FEM solution", "viridis"),
+            (axes[1], u, "model solution", "viridis"),
+            (axes[2], np.abs(u - sol), "|u − sol|", "magma")):
+        tc = ax.tricontourf(tri, field, levels=30, cmap=cmap)
+        fig.colorbar(tc, ax=ax, shrink=0.85)
+        ax.set_title(name)
+        ax.set_aspect("equal")
+    tags = np.asarray(tags).reshape(len(pos), -1)
+    bnd = tags[:, 0] == 1 if tags.shape[1] == 1 else tags[:, 1] == 1
+    axes[3].scatter(pos[~bnd, 0], pos[~bnd, 1], s=4, c="tab:gray",
+                    label="interior")
+    axes[3].scatter(pos[bnd, 0], pos[bnd, 1], s=6, c="tab:blue",
+                    label="dirichlet")
+    if tags.shape[1] == 3:
+        neu = tags[:, 2] == 1
+        axes[3].scatter(pos[neu, 0], pos[neu, 1], s=6, c="tab:red",
+                        label="neumann")
+    axes[3].set_title("node types")
+    axes[3].set_aspect("equal")
+    axes[3].legend(fontsize=7)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_iteration_metrics(trace_metrics: Dict[str, np.ndarray], path,
+                           nstep: Optional[int] = None,
+                           title="Ψ-GNN iterate metrics"):
+    """Residual / MSE / boundary / interior MSE vs fixed-point iteration
+    (the reference's iterate-inspection curves, vis.py residual/MSE-vs-
+    iteration family).  ``trace_metrics``: psignn_iterative_inference's
+    ``trace`` dict (arrays indexed by iterate)."""
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for key, label in (("res", "residual ‖Au−b‖²"), ("mse", "MSE vs FEM"),
+                       ("bound_mse", "boundary MSE"),
+                       ("inter_mse", "interior MSE")):
+        if key in trace_metrics:
+            vals = np.asarray(trace_metrics[key]).ravel()
+            if nstep is not None:
+                vals = vals[:nstep]
+            ax.semilogy(np.arange(1, len(vals) + 1), vals, label=label)
+    ax.set_xlabel("fixed-point iteration")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def plot_nstep_vs_nodes(rows: Sequence[Dict[str, float]], path,
+                        title="Adaptive iteration count"):
+    """nstep-vs-mesh-size scatter (the DEQ's selling point: iterations grow
+    with domain diameter, psignn_results.csv:7).  ``rows``: dicts with
+    ``n_nodes`` and ``nstep`` (e.g. collected from test_sample)."""
+    n = [r["n_nodes"] for r in rows]
+    s = [r["nstep"] for r in rows]
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    ax.scatter(n, s, s=18, c="#2a7de1")
+    ax.set_xscale("log")
+    ax.set_xlabel("mesh nodes")
+    ax.set_ylabel("fixed-point iterations")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def plot_zoo_grid(samples: Dict[str, Dict[str, np.ndarray]], path,
+                  field: str = "sol", title="Geometry zoo"):
+    """Solution maps across the OOD geometry zoo in one grid (the
+    reference's special-geometry figure tables).  ``samples``:
+    {shape_name: dict with pos + the plotted nodal field}."""
+    names = sorted(samples)
+    ncol = 4
+    nrow = -(-len(names) // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4.2 * ncol, 3.6 * nrow))
+    axes = np.atleast_2d(axes)
+    for i, name in enumerate(names):
+        ax = axes[i // ncol][i % ncol]
+        s = samples[name]
+        pos = np.asarray(s["pos"])
+        tri = _triangulation(pos)
+        tc = ax.tricontourf(tri, np.asarray(s[field]).ravel(), levels=25,
+                            cmap="viridis")
+        fig.colorbar(tc, ax=ax, shrink=0.8)
+        ax.set_title(name, fontsize=9)
+        ax.set_aspect("equal")
+    for j in range(len(names), nrow * ncol):
+        axes[j // ncol][j % ncol].axis("off")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path

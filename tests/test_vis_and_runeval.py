@@ -68,3 +68,56 @@ def test_run_eval_cli(tmp_path):
     run_eval.main(["--ckpt", str(tmp_path / "res" / "ckpt" / "best_model.ckpt"),
                    "--path_dataset", data, "--out", out])
     assert os.path.exists(os.path.join(out, "test_metrics.json"))
+
+
+def test_vis_panel_and_grids(tmp_path):
+    """Round-3 vis surface: 4-panel paper figure, iterate-metric curves,
+    nstep-vs-nodes scatter, zoo grid."""
+    import numpy as np
+    from psignn_tpu.eval import vis
+
+    rng = np.random.default_rng(0)
+    n = 60
+    pos = rng.uniform(-1, 1, (n, 2))
+    u = rng.normal(size=(n, 1))
+    sol = u + 0.1 * rng.normal(size=(n, 1))
+    tags = np.zeros((n, 1)); tags[:10] = 1
+
+    p = vis.plot_sample_panel(pos, u, sol, tags, str(tmp_path / "panel.png"),
+                              title="demo")
+    assert os.path.getsize(p) > 0
+
+    trace = dict(res=np.geomspace(1, 1e-4, 30),
+                 mse=np.geomspace(2, 1e-3, 30),
+                 bound_mse=np.geomspace(1, 1e-5, 30),
+                 inter_mse=np.geomspace(2, 1e-3, 30))
+    p = vis.plot_iteration_metrics(trace, str(tmp_path / "iter.png"),
+                                   nstep=25)
+    assert os.path.getsize(p) > 0
+
+    rows = [dict(n_nodes=100 * (i + 1), nstep=30 + 5 * i) for i in range(6)]
+    p = vis.plot_nstep_vs_nodes(rows, str(tmp_path / "nstep.png"))
+    assert os.path.getsize(p) > 0
+
+    samples = {f"shape{i}": dict(pos=rng.uniform(-1, 1, (40, 2)),
+                                 sol=rng.normal(size=(40,)))
+               for i in range(5)}
+    p = vis.plot_zoo_grid(samples, str(tmp_path / "zoo.png"))
+    assert os.path.getsize(p) > 0
+
+
+def test_plot_radius_comparison(tmp_path):
+    from psignn_tpu.eval import vis
+    d = tmp_path / "csvs"
+    d.mkdir()
+    for fam in ("psignn", "dss"):
+        with open(d / f"{fam}_results.csv", "w") as f:
+            f.write("metric,0.6,1.0\n")
+            f.write("n_nodes,192,487\n")
+            f.write("mse,0.006,0.008\n")
+            f.write("res,0.001,0.002\n")
+            f.write("rel,0.01,0.013\n")
+            f.write("nstep,35,67\n")
+            f.write("time,0.03,0.05\n")
+    p = vis.plot_radius_comparison(str(d), str(tmp_path / "cmp.png"))
+    assert os.path.getsize(p) > 0

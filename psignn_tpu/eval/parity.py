@@ -122,6 +122,8 @@ def main(argv=None):
     p.add_argument("--fw_thres", type=int, default=600)
     p.add_argument("--fw_tol", type=float, default=1e-5)
     p.add_argument("--out", type=str, default="PARITY.md")
+    p.add_argument("--csv_dir", type=str, default="",
+                   help="also write {family}_results.csv sweep tables here")
     p.add_argument("--families", type=str, nargs="+",
                    default=["psignn", "dsgps", "dss"])
     p.add_argument("--pallas", type=int, default=-1,
@@ -153,7 +155,13 @@ def main(argv=None):
                 else args.n_meshes)
     summary = growing_geometry_sweep(preds, radii=args.radii,
                                      n_meshes=n_meshes, families=fams,
-                                     pallas=pallas)
+                                     pallas=pallas,
+                                     out_dir=args.csv_dir or None)
+    if args.csv_dir:
+        from .vis import plot_radius_comparison
+        plot_radius_comparison(args.csv_dir,
+                               os.path.join(args.csv_dir,
+                                            "radius_comparison.png"))
     proto = ("Protocol: radii {} with {} meshes per radius respectively "
              "(reference: tests/test_multiple.py, 3 meshes/radius), "
              "fw_thres {}, fw_tol {}, jitted predictors, pallas={}. Times are "

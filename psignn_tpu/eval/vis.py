@@ -211,6 +211,7 @@ def plot_radius_comparison(csv_dir: str, out_path: str,
               ("time", "inference wall-clock (s)", True)]
     fig, axes = plt.subplots(1, 4, figsize=(20, 4))
     for ax, (metric, title, logy) in zip(axes, panels):
+        plotted = False
         for fam in families:
             path = os.path.join(csv_dir, f"{fam}_results.csv")
             if not os.path.exists(path):
@@ -221,6 +222,9 @@ def plot_radius_comparison(csv_dir: str, out_path: str,
             vals = [data[r].get(metric, float("nan")) for r in rs]
             if metric == "nstep" and fam != "psignn":
                 continue
+            if not np.isfinite(vals).any():
+                continue
+            plotted = True
             ax.plot(rs, vals, "o-", color=c, label=f"{fam} (ours)")
             ref = None
             if metric == "mse":
@@ -231,8 +235,12 @@ def plot_radius_comparison(csv_dir: str, out_path: str,
                 ref = BASELINE_NSTEP
             if ref:
                 rr = sorted(ref)
+                plotted = True
                 ax.plot(rr, [ref[r] for r in rr], "s--", color=c,
                         alpha=0.55, label=f"{fam} (reference)")
+        if not plotted:
+            ax.axis("off")
+            continue
         if logy:
             ax.set_yscale("log")
         ax.set_xlabel("radius")

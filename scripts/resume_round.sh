@@ -27,12 +27,15 @@ resume_flag() {  # $1 = results dir
 # --pallas here: the k-unrolled families Python-unroll 30 pallas_calls
 # (fwd+bwd), whose compiled programs accumulate host memory across epochs
 # (observed 56-78 GB RSS -> OOM, round 3); their XLA scan path is leaner.
+# --cache_batches 1 on every run: the axon tunnel client retains each
+# host->device staging buffer (~one batch of host RSS per train step, never
+# freed -> OOM after ~10h); cached batches upload once and sidestep it.
 nohup python -m psignn_tpu.cli.main --family psignn --variant dirichlet \
   --path_dataset data/dirichlet --path_results results/psignn_dirichlet \
   --solver broyden --fw_tol 1e-5 --fw_thres 500 --bw_tol 1e-8 --bw_thres 500 \
   --latent_dim 10 --n_layers 1 --lr_deq 0.01 --lr_ae 0.05 \
   --sched_step_deq 0.5 --sched_step_ae 0.5 --gradient_clip 0.1 --jac_weight 1.0 \
-  --batch_size 50 --max_epochs 700 --pallas \
+  --batch_size 50 --max_epochs 700 --pallas --cache_batches 1 \
   $(resume_flag results/psignn_dirichlet) \
   > logs/resume/psignn.log 2>&1 &
 echo "psignn $!" > logs/resume/pids.txt
@@ -40,7 +43,7 @@ echo "psignn $!" > logs/resume/pids.txt
 nohup python -m psignn_tpu.cli.main --family dss --variant dirichlet \
   --path_dataset data/dirichlet --path_results results/dss_dirichlet \
   --k 30 --alpha 1e-3 --gamma 0.9 --latent_dim 10 \
-  --lr 0.01 --gradient_clip 0.01 --batch_size 50 --max_epochs 400 \
+  --lr 0.01 --gradient_clip 0.01 --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dss_dirichlet) \
   > logs/resume/dss.log 2>&1 &
 echo "dss $!" >> logs/resume/pids.txt
@@ -48,7 +51,7 @@ echo "dss $!" >> logs/resume/pids.txt
 nohup python -m psignn_tpu.cli.main --family dsgps --variant dirichlet \
   --path_dataset data/dirichlet --path_results results/dsgps_dirichlet \
   --k 30 --gamma 0.9 --latent_dim 10 --lr 0.01 --gradient_clip 0.01 \
-  --batch_size 50 --max_epochs 400 \
+  --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_dirichlet) \
   > logs/resume/dsgps.log 2>&1 &
 echo "dsgps $!" >> logs/resume/pids.txt
@@ -56,7 +59,7 @@ echo "dsgps $!" >> logs/resume/pids.txt
 nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   --path_dataset data/mixed --path_results results/dsgps_mixed \
   --k 30 --gamma 0.9 --latent_dim 10 --lr 0.001 --gradient_clip 0.01 \
-  --batch_size 50 --max_epochs 400 \
+  --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_mixed) \
   > logs/resume/dsgps_mixed.log 2>&1 &
 echo "dsgps_mixed $!" >> logs/resume/pids.txt

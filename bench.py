@@ -33,6 +33,60 @@ REF_EDGES_PER_S = 531.2 * 2 * 77_588 / 3.18  # ≈ 25.9e6, see module docstring
 REF_TRAIN_STEP_S = 360.0 / 120               # psignn epoch / batches, 2 GPUs
 
 
+def pause_trainers():
+    """SIGSTOP any of OUR live training runs for the duration of the bench.
+
+    The single TPU chip is time-shared by every process on this host;
+    benchmarking while a training run dispatches programs inflates wall-clock
+    ~5x (BENCH_r03: 0.74 s -> 3.48 s on the identical workload).  Each
+    ``psignn_tpu.cli.main`` run writes ``<path_results>/trainer.pid``; we
+    stop exactly those PIDs (after verifying /proc/<pid>/cmdline really is a
+    psignn_tpu trainer — never pattern-matched, never anyone else's process)
+    and SIGCONT them when the bench exits, so training merely pauses.
+    """
+    import atexit
+    import glob
+    import os
+    import signal
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paused = []
+    for pf in glob.glob(os.path.join(root, "results", "*", "trainer.pid")):
+        try:
+            pid = int(open(pf).read().strip())
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode()
+        except (OSError, ValueError):
+            continue
+        if "psignn_tpu" not in cmd.replace("\0", " "):
+            continue  # PID was recycled by an unrelated process: leave it be
+        try:
+            os.kill(pid, signal.SIGSTOP)
+            paused.append(pid)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    def _resume():
+        for pid in paused:
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except (ProcessLookupError, PermissionError):
+                pass
+
+    def _on_signal(signum, frame):
+        # atexit does not run on an unhandled SIGTERM (e.g. `timeout`):
+        # resume the trainers, then die with the conventional exit code.
+        _resume()
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    if paused:
+        atexit.register(_resume)
+        signal.signal(signal.SIGTERM, _on_signal)
+        signal.signal(signal.SIGINT, _on_signal)
+        time.sleep(5.0)  # let in-flight device programs drain
+    return paused
+
+
 def build_big_graph(radius=5.0, hsize=0.08, seed=0, pallas=False):
     from psignn_tpu.data.fem import solve_poisson
     from psignn_tpu.data.meshgen import blob_mesh
@@ -200,6 +254,8 @@ def bench_partitioned():
 def main():
     import os
     import jax
+
+    pause_trainers()
     from psignn_tpu import ops
     from psignn_tpu.deq import fixed_point_forward
     from psignn_tpu.models import PsignnConfig, psignn_init

@@ -140,6 +140,17 @@ def main(argv=None):
         shutil.rmtree(args.path_results)
     os.makedirs(args.path_results, exist_ok=True)
 
+    # Register this trainer's PID so bench.py can SIGSTOP/SIGCONT it while
+    # measuring: the single chip is shared by every process on this host, and
+    # a live training run alongside the benchmark skews the measurement ~5x
+    # (BENCH_r03 regression).  Exact-PID + /proc cmdline verification on the
+    # bench side; removed on clean exit.
+    pidfile = os.path.join(args.path_results, "trainer.pid")
+    with open(pidfile, "w") as fh:
+        fh.write(str(os.getpid()))
+    import atexit
+    atexit.register(lambda: os.path.exists(pidfile) and os.remove(pidfile))
+
     dtype = {"float32": np.float32, "bfloat16": "bfloat16"}[args.precision]
     if dtype == "bfloat16":
         import jax.numpy as jnp

@@ -23,6 +23,16 @@ resume_flag() {  # $1 = results dir
   [ -f "$ck" ] && echo "--resume $ck"
 }
 
+run_lr() {  # $1 = results dir, $2 = fallback
+  # A resume must continue in the checkpoint's own lr regime: the trainer
+  # reads lr from the CLI, not the checkpoint, and resuming the dsgps run at
+  # 10x its trained lr destroys its progress (docs/dsgps_dynamics.md).
+  local cfg="$1/logs/model_config.csv"
+  local lr=""
+  [ -f "$cfg" ] && lr=$(sed -n "s/^'lr':'\([^']*\)'.*/\1/p" "$cfg" | head -1)
+  echo "${lr:-$2}"
+}
+
 # Flagship Ψ-GNN (canonical broyden config, SURVEY.md §6).  Only psignn uses
 # --pallas here: the k-unrolled families Python-unroll 30 pallas_calls
 # (fwd+bwd), whose compiled programs accumulate host memory across epochs
@@ -50,7 +60,8 @@ echo "dss $!" >> logs/resume/pids.txt
 
 nohup python -m psignn_tpu.cli.main --family dsgps --variant dirichlet \
   --path_dataset data/dirichlet --path_results results/dsgps_dirichlet \
-  --k 30 --gamma 0.9 --latent_dim 10 --lr 0.01 --gradient_clip 0.01 \
+  --k 30 --gamma 0.9 --latent_dim 10 \
+  --lr "$(run_lr results/dsgps_dirichlet 3e-4)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_dirichlet) \
   > logs/resume/dsgps.log 2>&1 &
@@ -58,7 +69,8 @@ echo "dsgps $!" >> logs/resume/pids.txt
 
 nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   --path_dataset data/mixed --path_results results/dsgps_mixed \
-  --k 30 --gamma 0.9 --latent_dim 10 --lr 0.001 --gradient_clip 0.01 \
+  --k 30 --gamma 0.9 --latent_dim 10 \
+  --lr "$(run_lr results/dsgps_mixed 3e-4)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_mixed) \
   > logs/resume/dsgps_mixed.log 2>&1 &

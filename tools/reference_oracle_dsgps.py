@@ -9,14 +9,24 @@ via psignn_tpu.data.reader.  Its trajectory plateaus at the same values as
 the jax framework (docs/oracle_dsgps_run.log), isolating the plateau to the
 data/lr regime rather than the TPU rebuild.
 """
-import os, sys, time
+import argparse, os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, torch, torch.nn as nn
 torch.manual_seed(1234); np.random.seed(1234)
 from psignn_tpu.data.reader import load_dataset
-samples = load_dataset("/tmp/subset", family="dsgps", variant="dirichlet")
-n = len(samples); n_test = n - int(0.8*n); n_val = int(0.2*n)
-train = samples[:int(0.6*n)]
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--path_dataset", default="data/dirichlet",
+                 help="dataset dir")
+_ap.add_argument("--limit", type=int, default=600,
+                 help="use only the first N samples (the round-3 plateau "
+                      "study ran on a 600-sample subset; 0 = full set)")
+_ap.add_argument("--epochs", type=int, default=40)
+_args = _ap.parse_args()
+samples = load_dataset(_args.path_dataset, family="dsgps", variant="dirichlet")
+if _args.limit:
+    samples = samples[:_args.limit]
+train = samples[:int(0.6 * len(samples))]
 print("train samples", len(train))
 
 def xavier(m):
@@ -51,8 +61,15 @@ def batch_of(chunk):
         aij.append(s["a_ij"]); ea.append(s["edge_attr"]); off += N
     t = lambda a: torch.tensor(np.concatenate(a), dtype=torch.float32)
     ti = lambda a: torch.tensor(np.concatenate(a), dtype=torch.long)
-    return dict(x=t(xs), b=t(bs), sol=t(sols), prb=t(prbs), tags=t(tags),
-                snd=ti(snd), rcv=ti(rcv), aij=t(aij), ea=t(ea), N=off)
+    g = dict(x=t(xs), b=t(bs), sol=t(sols), prb=t(prbs), tags=t(tags),
+             snd=ti(snd), rcv=ti(rcv), aij=t(aij), ea=t(ea), N=off)
+    # Message passing excludes self-loop (diagonal) edges, matching both the
+    # reference (remove_self_loops in Phi_to/Phi_from, dirichlet/dsgps/
+    # model.py:235) and the jax framework (mp_edge_mask, graphs.py:123); the
+    # residual SpMV below keeps the full edge set including the diagonal.
+    nsl = g["snd"] != g["rcv"]
+    g["snd_mp"], g["rcv_mp"], g["ea_mp"] = g["snd"][nsl], g["rcv"][nsl], g["ea"][nsl]
+    return g
 
 def mp(mlp, h, snd, rcv, ea, N, direction):
     if direction == "to":
@@ -69,8 +86,8 @@ def forward(m, g, k=30, gamma=0.9):
     H0 = m.enc(U0); H = H0
     total = 0.0; mseL = nn.MSELoss()
     for u in range(k):
-        mt = mp(m.phi_to, H, g["snd"], g["rcv"], g["ea"], g["N"], "to")
-        mf = mp(m.phi_from, H, g["snd"], g["rcv"], g["ea"], g["N"], "from")
+        mt = mp(m.phi_to, H, g["snd_mp"], g["rcv_mp"], g["ea_mp"], g["N"], "to")
+        mf = mp(m.phi_from, H, g["snd_mp"], g["rcv_mp"], g["ea_mp"], g["N"], "from")
         cat = torch.cat([H, mt, mf, g["prb"]], 1)
         alpha = m.z_k(cat); reset = m.r_k(cat)
         corr = m.corr(torch.cat([reset*H, mt, mf, g["prb"]], 1))
@@ -91,7 +108,7 @@ def forward(m, g, k=30, gamma=0.9):
 model = DSGPS()
 opt = torch.optim.Adam(model.parameters(), lr=1e-3)
 step = 0
-for ep in range(40):
+for ep in range(_args.epochs):
     order = np.random.permutation(len(train))
     t0 = time.time()
     for i in range(0, len(train), 50):

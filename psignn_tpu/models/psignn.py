@@ -206,6 +206,14 @@ def psignn_forward_stacked(params: Dict, stacked: PaddedGraph,
     n_graphs = stacked.x.shape[0]
     keys = jax.random.split(rng, n_graphs)
 
+    # The fused Pallas MP kernel's custom_vjp closes over its MPBlocks edge
+    # packing; under vmap those closure captures become BatchTracers, which
+    # custom_vjp forbids (UnexpectedTracerError).  Per-graph solves use the
+    # XLA take/segment_sum path instead — vmap composes with it natively.
+    if stacked.mp_blocks_to is not None or stacked.mp_blocks_from is not None:
+        import dataclasses as _dc
+        stacked = _dc.replace(stacked, mp_blocks_to=None, mp_blocks_from=None)
+
     def one(graph, key):
         out = psignn_forward(params, graph, cfg, key, training=training)
         return out

@@ -229,3 +229,33 @@ def test_psignn_stacked_matches_per_sample(data_dir):
         np.testing.assert_allclose(np.asarray(out.u_final[i]),
                                    np.asarray(per[i].u_final),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_psignn_stacked_with_kernel_packings(data_dir):
+    """--stacked_batch + --pallas regression: the loader stacks per-graph
+    PaddedGraphs that carry MPBlocks kernel packings; psignn_forward_stacked
+    must not vmap the fused kernel over them (its custom_vjp closes over the
+    block arrays -> UnexpectedTracerError, round-4 fix) but strip them and
+    take the XLA MP path."""
+    from psignn_tpu.models.psignn import psignn_forward_stacked
+
+    samples = load_dataset(data_dir, family="psignn")[:4]
+    loader = GraphLoader(samples, batch_size=2, rcm=True,
+                         pack_kernel_blocks=True, stacked=True)
+    stacked = next(iter(loader))
+    assert stacked.mp_blocks_to is not None
+    cfg = PsignnConfig(solver="forward_iteration", fw_tol=1e-4, fw_thres=12,
+                       bw_thres=12)
+    params = psignn_init(jax.random.PRNGKey(3), cfg)
+
+    def loss_fn(p):
+        out = psignn_forward_stacked(params | p, stacked,
+                                     cfg, jax.random.PRNGKey(4))
+        return out.losses["residual_loss"]
+
+    # forward AND gradient (the custom_vjp leak fired on the backward build)
+    val, grads = jax.value_and_grad(
+        lambda p: loss_fn(p))({"function": params["function"]})
+    assert np.isfinite(float(val))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

@@ -31,18 +31,6 @@ import numpy as np
 from .solvers import SolverResult, get_solver
 
 
-# Optional host callback invoked with (lowest, nstep) after each backward
-# implicit solve — the jax equivalent of the reference writing
-# backward_iteration.csv from inside the hook (model.py:219-221).  Set it
-# BEFORE tracing the train step; it is captured at trace time.
-_BW_LOG_HOOK = None
-
-
-def set_bw_log_hook(fn) -> None:
-    global _BW_LOG_HOOK
-    _BW_LOG_HOOK = fn
-
-
 def _zero_cotangent(tree):
     """Cotangent pytree of zeros; non-float leaves get float0 (ints/bools)."""
     def z(x):
@@ -96,7 +84,8 @@ def fixed_point_forward(f: Callable, params, h_init, graph, cfg: DEQConfig,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def deq_attach(f: Callable, cfg: DEQConfig, params, h_star, h_init, graph):
+def deq_attach(f: Callable, cfg: DEQConfig, params, h_star, h_init, graph,
+               bw_sink):
     """One tracked evaluation new_h* = f(h*) with implicit-function backward.
 
     Forward value matches the reference's returned ``new_H_star``
@@ -104,17 +93,27 @@ def deq_attach(f: Callable, cfg: DEQConfig, params, h_star, h_init, graph):
     solution y of y = vjp_f(y) + g (model.py:214-218), then routed through
     the single f application into (params, h_init); h_star and the graph get
     zero cotangent.
+
+    ``bw_sink`` is a (2,) float32 array the primal ignores; its COTANGENT is
+    set to [lowest, nstep] of the backward adjoint solve.  Differentiating
+    the loss w.r.t. the sink therefore surfaces the backward-solve stats as
+    an ordinary device array in the train step's outputs — the reference
+    writes backward_iteration.csv from inside its autograd hook
+    (model.py:219-221), and the axon PJRT tunnel supports no host callbacks
+    (UNIMPLEMENTED: host send/recv), so this is the platform-independent
+    route for the same log.
     """
+    del bw_sink
     return f(params, h_star, h_init, graph)
 
 
-def _deq_attach_fwd(f, cfg, params, h_star, h_init, graph):
+def _deq_attach_fwd(f, cfg, params, h_star, h_init, graph, bw_sink):
     new_h = f(params, h_star, h_init, graph)
-    return new_h, (params, h_star, h_init, graph)
+    return new_h, (params, h_star, h_init, graph, bw_sink)
 
 
 def _deq_attach_bwd(f, cfg, res, g):
-    params, h_star, h_init, graph = res
+    params, h_star, h_init, graph, bw_sink = res
     _, vjp_fn = jax.vjp(
         lambda p, h, h0: f(p, h, h0, graph), params, h_star, h_init)
 
@@ -126,11 +125,11 @@ def _deq_attach_bwd(f, cfg, res, g):
                     threshold=cfg.bw_thres, eps=cfg.bw_tol,
                     **_solver_kwargs(cfg))
     y_star = out_bw.result
-    if _BW_LOG_HOOK is not None:
-        jax.debug.callback(_BW_LOG_HOOK, out_bw.lowest, out_bw.nstep)
+    d_sink = jnp.stack([out_bw.lowest, out_bw.nstep.astype(jnp.float32)]
+                       ).astype(bw_sink.dtype)
     d_params, _, d_h_init = vjp_fn(y_star)
     return (d_params, _zero_cotangent(h_star), d_h_init,
-            _zero_cotangent(graph))
+            _zero_cotangent(graph), d_sink)
 
 
 deq_attach.defvjp(_deq_attach_fwd, _deq_attach_bwd)
@@ -202,16 +201,20 @@ class DEQOutput(NamedTuple):
 
 def deq_solve(f: Callable, params, h_init, graph, cfg: DEQConfig,
               rng: jax.Array, compute_sradius: bool = False,
-              jac_vecs: int = 1) -> DEQOutput:
+              jac_vecs: int = 1, bw_sink=None) -> DEQOutput:
     """Full DEQ forward: solve, re-attach, jacobian regularizer.
 
     Mirrors ``DeepEquilibrium.forward`` (model.py:185-243): train mode logs
     (lowest, nstep); eval mode additionally estimates the spectral radius via
-    150 power iterations (model.py:238).
+    150 power iterations (model.py:238).  ``bw_sink``: see ``deq_attach`` —
+    pass a (2,) zeros array and take the loss gradient w.r.t. it to recover
+    the backward solve's (lowest, nstep).
     """
     out_fw = fixed_point_forward(f, params, h_init, graph, cfg)
     h_star = out_fw.result
-    new_h_star = deq_attach(f, cfg, params, h_star, h_init, graph)
+    if bw_sink is None:
+        bw_sink = jnp.zeros(2, jnp.float32)
+    new_h_star = deq_attach(f, cfg, params, h_star, h_init, graph, bw_sink)
     jac = jac_loss_estimate(f, params, h_star, h_init, graph, rng,
                             vecs=jac_vecs,
                             denom=_true_size(graph, h_star))

@@ -147,15 +147,19 @@ class PsignnOutput(NamedTuple):
 
 
 def psignn_forward(params: Dict, graph: PaddedGraph, cfg: PsignnConfig,
-                   rng: jax.Array, training: bool = True) -> PsignnOutput:
-    """Full forward with the loss dictionary (model.py:58-97)."""
+                   rng: jax.Array, training: bool = True,
+                   bw_sink=None) -> PsignnOutput:
+    """Full forward with the loss dictionary (model.py:58-97).
+
+    ``bw_sink``: optional (2,) zeros whose loss-gradient carries the
+    backward implicit solve's (lowest, nstep) — see ``deq.deq_attach``."""
     f = make_function(cfg)
     ae = params["autoencoder"]
     h_initial = encoder_apply(ae, graph.x) * graph.fnode_mask
 
     deq_out = deq_solve(f, params["function"], h_initial, graph, cfg.deq,
                         rng, compute_sradius=not training,
-                        jac_vecs=cfg.jac_vecs)
+                        jac_vecs=cfg.jac_vecs, bw_sink=bw_sink)
     h_final = deq_out.new_h_star
     u_final = decoder_apply(ae, h_final) * graph.fnode_mask
 
@@ -190,7 +194,8 @@ def psignn_forward(params: Dict, graph: PaddedGraph, cfg: PsignnConfig,
 
 def psignn_forward_stacked(params: Dict, stacked: PaddedGraph,
                            cfg: PsignnConfig, rng: jax.Array,
-                           training: bool = True) -> PsignnOutput:
+                           training: bool = True,
+                           bw_sink=None) -> PsignnOutput:
     """Per-graph vmapped forward over a stacked batch (leading G axis).
 
     The concatenated ``psignn_forward`` solves the whole batch jointly with
@@ -214,11 +219,15 @@ def psignn_forward_stacked(params: Dict, stacked: PaddedGraph,
         import dataclasses as _dc
         stacked = _dc.replace(stacked, mp_blocks_to=None, mp_blocks_from=None)
 
-    def one(graph, key):
-        out = psignn_forward(params, graph, cfg, key, training=training)
+    if bw_sink is None:
+        bw_sink = jnp.zeros((n_graphs, 2), jnp.float32)
+
+    def one(graph, key, sink):
+        out = psignn_forward(params, graph, cfg, key, training=training,
+                             bw_sink=sink)
         return out
 
-    outs = jax.vmap(one)(stacked, keys)
+    outs = jax.vmap(one)(stacked, keys, bw_sink)
     losses = {k: jnp.mean(v) for k, v in outs.losses.items()}
     losses["fw_nstep_per_graph"] = outs.losses["fw_nstep"]
     return PsignnOutput(u_final=outs.u_final, losses=losses)

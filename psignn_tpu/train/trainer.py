@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import deq as deq_mod
 from ..models import (DsgpsConfig, DssConfig, PsignnConfig, dsgps_forward,
                       dsgps_init, dss_forward, dss_init, psignn_forward,
                       psignn_init)
@@ -110,13 +109,6 @@ class Trainer:
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self._last_grad_norms: Dict[str, float] = {}
 
-        # jax.debug.callback is unsupported on the axon PJRT tunnel (host
-        # send/recv callbacks); skip the per-backward CSV there rather than
-        # crash the train step. All other metrics CSVs are host-side. The
-        # tunnel reports platform "tpu", so sniff its platform_version.
-        _pv = getattr(jax.devices()[0].client, "platform_version", "")
-        if "axon" not in _pv:
-            deq_mod.set_bw_log_hook(self._log_bw_iteration)
         self._build_steps()
         self._dump_model_config()
 
@@ -159,25 +151,23 @@ class Trainer:
             f.write("}\n\n")
             f.write(f"Number of parameters : {count_params(self.params)} \n")
 
-    def _log_bw_iteration(self, lowest, nstep):
-        with open(os.path.join(self.path_logs, "backward_iteration.csv"), "a") as f:
-            f.write("\n{} \t {}".format(float(lowest), int(nstep)))
-
     # ------------------------------------------------------------ step builds
 
-    def _loss_and_aux(self, params, graph, rng, training):
+    def _loss_and_aux(self, params, graph, rng, training, bw_sink=None):
         if self.family == "psignn":
             if self.c.stacked_batch:
                 from ..models import psignn_forward_stacked
                 out = psignn_forward_stacked(params, graph, self.mc, rng,
-                                             training=training)
+                                             training=training,
+                                             bw_sink=bw_sink)
                 l = out.losses
                 loss = (l["residual_loss"]
                         + self.c.jac_weight * l["jacobian_loss"]
                         + l["encoder_loss"] + l["autoencoder_loss"])
                 return loss, {k: v for k, v in l.items()
                               if k != "fw_nstep_per_graph"}
-            out = psignn_forward(params, graph, self.mc, rng, training=training)
+            out = psignn_forward(params, graph, self.mc, rng,
+                                 training=training, bw_sink=bw_sink)
             l = out.losses
             loss = (l["residual_loss"] + self.c.jac_weight * l["jacobian_loss"]
                     + l["encoder_loss"] + l["autoencoder_loss"])
@@ -248,9 +238,23 @@ class Trainer:
 
         if self.family == "psignn":
             def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):
-                (loss, aux), grads = jax.value_and_grad(
-                    lambda p: self._loss_and_aux(p, graph, rng, True),
-                    has_aux=True)(params)
+                # bw_sink: one (2,) per backward solve — the stacked batch
+                # runs one vmapped solve per graph.  Its loss-"gradient"
+                # carries the backward adjoint solve's (lowest, nstep),
+                # which no host callback can deliver on the axon tunnel
+                # (reference logs these from its autograd hook,
+                # model.py:219-221).
+                if self.c.stacked_batch:
+                    sink0 = jnp.zeros((graph.x.shape[0], 2), jnp.float32)
+                else:
+                    sink0 = jnp.zeros(2, jnp.float32)
+                (loss, aux), (grads, gsink) = jax.value_and_grad(
+                    lambda p, s: self._loss_and_aux(p, graph, rng, True,
+                                                    bw_sink=s),
+                    argnums=(0, 1), has_aux=True)(params, sink0)
+                gsink = gsink.reshape(-1, 2).mean(axis=0)
+                aux = dict(aux)
+                aux["bw_lowest"], aux["bw_nstep"] = gsink[0], gsink[1]
                 grads, gnorm = clip_by_global_norm(grads, clip)
                 pf, sd = adam_update(grads["function"], opt_state["deq"],
                                      params["function"], lr_deq)
@@ -297,13 +301,14 @@ class Trainer:
             if not pending:
                 return {k: 0.0 for k in LOSS_KEYS}, 0
             vecs = np.asarray(jnp.stack([p[0] for p in pending]))
-            fw = [p[1] for p in pending if p[1] is not None]
-            if fw:
-                fw_host = np.asarray(jnp.stack(fw))
-                with open(os.path.join(self.path_logs,
-                                       "forward_iteration.csv"), "a") as f:
-                    for lo, ns in fw_host:
-                        f.write("\n{} \t {}".format(float(lo), int(ns)))
+            for idx, csv in ((1, "forward_iteration.csv"),
+                             (2, "backward_iteration.csv")):
+                rows = [p[idx] for p in pending if p[idx] is not None]
+                if rows:
+                    host = np.asarray(jnp.stack(rows))
+                    with open(os.path.join(self.path_logs, csv), "a") as f:
+                        for lo, ns in host:
+                            f.write("\n{} \t {}".format(float(lo), int(ns)))
             sums = vecs.sum(axis=0)
             n = len(pending)
             pending.clear()
@@ -319,7 +324,9 @@ class Trainer:
                                       for k in LOSS_KEYS[1:]])
             fw = (jnp.stack([aux["fw_lowest"], aux["fw_nstep"]])
                   if "fw_lowest" in aux else None)
-            pending.append((vec, fw))
+            bw = (jnp.stack([aux["bw_lowest"], aux["bw_nstep"]])
+                  if "bw_lowest" in aux else None)
+            pending.append((vec, fw, bw))
             if i in marks:
                 run, cumul = flush()
                 for k in LOSS_KEYS:

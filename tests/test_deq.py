@@ -40,7 +40,8 @@ def test_implicit_gradient_matches_unrolled():
 
     def loss_implicit(p, h_init):
         out = fixed_point_forward(f, p, h_init, None, cfg)
-        new_h = deq_attach(f, cfg, p, out.result, h_init, None)
+        new_h = deq_attach(f, cfg, p, out.result, h_init, None,
+                           jnp.zeros(2))
         return jnp.sum(new_h ** 2) + 2.0 * jnp.sum(new_h * h_init)
 
     def loss_unrolled(p, h_init):
@@ -66,7 +67,8 @@ def test_h_star_gets_zero_cotangent():
     out = fixed_point_forward(f, params, h0, None, cfg)
 
     def loss_wrt_hstar(h_star):
-        return jnp.sum(deq_attach(f, cfg, params, h_star, h0, None) ** 2)
+        return jnp.sum(deq_attach(f, cfg, params, h_star, h0, None,
+                                  jnp.zeros(2)) ** 2)
 
     g = jax.grad(loss_wrt_hstar)(out.result)
     np.testing.assert_allclose(np.asarray(g), 0.0)

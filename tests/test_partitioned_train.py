@@ -51,7 +51,8 @@ def _oracle_loss(params, g, v1, cfg, jac_weight=1.0):
     dec = lambda h: mlp_apply(ae["decoder"], h) * g.fnode_mask
     h0 = enc(g.x)
     out = fixed_point_forward(f, params["function"], h0, g, cfg.deq)
-    new_h = deq_attach(f, cfg.deq, params["function"], out.result, h0, g)
+    new_h = deq_attach(f, cfg.deq, params["function"], out.result, h0, g,
+                       jnp.zeros(2))
     u = dec(new_h)
     res = residual_loss(u, g)
     D = new_h.shape[-1]

@@ -25,14 +25,28 @@ def _seg_sum(x, graph: PaddedGraph):
 
 
 def errors_batch(u: jax.Array, graph: PaddedGraph) -> Dict[str, jax.Array]:
-    """(G,) per-graph metrics (test_func.py:26-66)."""
-    residual = spmv(graph, u) - graph.b
+    """(G,) per-graph metrics (test_func.py:26-66).
+
+    dss-form graphs carry the BC-encoded system (A' off-diagonal-only, b=0,
+    b_prime=[B0,B1,B2]); their residual uses the gather/scatter form and is
+    normalized by ‖B0+B2‖, exactly the reference's dss branch
+    (tests/test_func_dirichlet.py:26-48, 89-91).  psignn/dsgps graphs use
+    the SpMV residual normalized by ‖b‖.
+    """
+    dss_form = getattr(graph, "b_prime", None) is not None
+    if dss_form:
+        from ..ops import dss_residual_vector
+        residual = dss_residual_vector(u, graph)
+        rhs = graph.b_prime[:, 0:1] + graph.b_prime[:, 2:3]
+    else:
+        residual = spmv(graph, u) - graph.b
+        rhs = graph.b
     counts = graph.n_nodes.astype(u.dtype)
 
     res_sq = _seg_sum(jnp.square(residual)[:, 0], graph)
     res = res_sq / counts
 
-    b_sq = _seg_sum(jnp.square(graph.b)[:, 0], graph)
+    b_sq = _seg_sum(jnp.square(rhs)[:, 0], graph)
     res_norm = jnp.sqrt(res_sq) / jnp.sqrt(b_sq)
 
     err_sq = _seg_sum(jnp.square(u - graph.sol)[:, 0], graph)

@@ -163,8 +163,8 @@ def dss_residual_loss_stacked(U: jax.Array, graph: PaddedGraph) -> jax.Array:
                               graph.node_mask)
 
 
-def dss_residual_loss(u: jax.Array, graph: PaddedGraph) -> jax.Array:
-    """BC-encoded gather/scatter residual (dss/model.py:129-148).
+def dss_residual_vector(u: jax.Array, graph: PaddedGraph) -> jax.Array:
+    """Per-node BC-encoded residual (dss/model.py:129-148).
 
     b_prime = [B0, B1, B2]: interior rows (B1=0) contribute ``-B0 + sum_j
     a_ij (u_j - u_i)``; Dirichlet rows (B1=1) contribute ``(u - B2)`` (a_ij is
@@ -179,5 +179,10 @@ def dss_residual_loss(u: jax.Array, graph: PaddedGraph) -> jax.Array:
     f_bar = graph.a_ij * (u_j - u_i)
     f_bar = f_bar * graph.edge_mask[:, None].astype(u.dtype)
     f_sum = jax.ops.segment_sum(f_bar, graph.senders, num_segments=graph.n_node_cap)
-    res = p1 + f_sum
+    return p1 + f_sum
+
+
+def dss_residual_loss(u: jax.Array, graph: PaddedGraph) -> jax.Array:
+    """Mean-square of the BC-encoded residual (dss/model.py:129-148)."""
+    res = dss_residual_vector(u, graph)
     return mse_masked(res, jnp.zeros_like(res), graph.node_mask)

@@ -114,3 +114,24 @@ def test_geometry_zoo_eval():
                             shapes=["circle", "heart"], families=("psignn",))
     assert set(out) == {"circle", "heart"}
     assert out["circle"]["oracle"]["mse"] < 1e-8
+
+
+def test_errors_batch_dss_form(fem_sample):
+    """dss-form graphs (b=0, A' off-diagonal, b_prime BC-encoding) must be
+    scored with the gather/scatter residual, not SpMV vs the zero b
+    (round-4 fix: test-split eval reported residual ~6e2 on a checkpoint
+    whose true BC-encoded residual was ~1e-3)."""
+    import jax.numpy as jnp
+    from psignn_tpu.data.reader import dss_sample_from_fem
+    from psignn_tpu.ops import dss_residual_loss
+
+    s = dss_sample_from_fem(fem_sample)
+    g = batch_graphs([s, s])
+    u = g.sol  # exact FEM solution: residual should be ~machine-level
+    m = errors_batch(u, g)
+    assert np.isfinite(np.asarray(m["res_norm"])).all()
+    assert float(jnp.max(m["res"])) < 1e-6, m["res"]
+    # consistency with the training-side loss (node-count weighting)
+    ref = float(dss_residual_loss(u, g))
+    got = float(jnp.sum(m["res"] * g.n_nodes) / jnp.sum(g.n_nodes))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-12)

@@ -89,6 +89,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "pairs (ring overwrite, L-BFGS style); bounds the "
                         "per-iteration rank-op HBM traffic. 0 = full memory "
                         "(reference semantics)")
+    p.add_argument("--spike_guard", action="store_true",
+                   help="training-level failure protection: on a sustained "
+                        "val-residual spike (> spike_factor x best for "
+                        "spike_patience epochs), reload the best checkpoint "
+                        "and halve the effective lr")
+    p.add_argument("--spike_factor", type=float, default=3.0)
+    p.add_argument("--spike_patience", type=int, default=2)
     p.add_argument("--val_sradius", type=int, default=1,
                    help="power-method spectral radius during validation "
                         "(psignn; 150 VJPs per val batch, as the reference)")
@@ -197,7 +204,9 @@ def main(argv=None):
         sched_step_ae=args.sched_step_ae, gradient_clip=clip,
         jac_weight=args.jac_weight, min_loss_save=args.min_loss_save,
         path_results=args.path_results, seed=args.seed, data_parallel=dp,
-        val_sradius=bool(args.val_sradius), stacked_batch=stacked)
+        val_sradius=bool(args.val_sradius), stacked_batch=stacked,
+        spike_guard=bool(args.spike_guard), spike_factor=args.spike_factor,
+        spike_patience=args.spike_patience)
 
     trainer = Trainer(cfg, loader_train, loader_val)
     if args.resume:

@@ -65,6 +65,17 @@ class TrainConfig:
     # test per mesh (SURVEY.md hard-part #1); mutually exclusive with
     # data_parallel.
     stacked_batch: bool = False
+    # Opt-in training-level failure protection (the trainer analog of the
+    # solvers' divergence breaks, SURVEY.md §5.3): when val residual exceeds
+    # spike_factor x the best seen for spike_patience consecutive epochs,
+    # reload the best checkpoint (params + optimizer state) and halve the
+    # effective lr.  Off by default — the reference has no such guard — but
+    # the k-unrolled dsgps recurrence repeatedly destabilises at the
+    # recorded lr on this dataset realization (docs/dsgps_dynamics.md) and
+    # never recovers on its own.
+    spike_guard: bool = False
+    spike_factor: float = 3.0
+    spike_patience: int = 2
 
 
 def count_params(params) -> int:
@@ -105,6 +116,8 @@ class Trainer:
         self.hist_train = {k: [] for k in LOSS_KEYS}
         self.hist_val = {k: [] for k in LOSS_KEYS}
         self.min_loss_save = config.min_loss_save
+        self.lr_scale = 1.0          # halved by the spike guard
+        self._spike_count = 0
         self.training_time = 0.0
         self._rng = jax.random.PRNGKey(config.seed + 1)
         self._last_grad_norms: Dict[str, float] = {}
@@ -288,7 +301,8 @@ class Trainer:
         c = self.c
         accum = {k: 0.0 for k in LOSS_KEYS}
         n_batches = len(self.loader_train)
-        lr1 = self.sched_deq.lr if self.family == "psignn" else c.lr
+        lr1 = (self.sched_deq.lr if self.family == "psignn"
+               else c.lr * self.lr_scale)
         lr2 = self.sched_ae.lr if self.family == "psignn" else 0.0
         marks = {math.ceil(f * n_batches) for f in (0.25, 0.5, 0.75)}
 
@@ -427,6 +441,26 @@ class Trainer:
                         self.sched_ae.lr))
                 f.write(saved)
 
+            if c.spike_guard and not improved and self.min_loss_save < 1e9:
+                spiked = (self.hist_val["residual_loss"][-1]
+                          > c.spike_factor * self.min_loss_save)
+                self._spike_count = self._spike_count + 1 if spiked else 0
+                if self._spike_count >= c.spike_patience:
+                    best = os.path.join(self.path_ckpt, "best_model.ckpt")
+                    if os.path.exists(best):
+                        ck = load_checkpoint(best)
+                        self.params = ck["params"]
+                        self.opt_state = ck["opt_state"]
+                    self.lr_scale *= 0.5
+                    self._spike_count = 0
+                    with open(os.path.join(self.path_logs,
+                                           "train_metrics.csv"), "a") as f:
+                        f.write("\nSPIKE GUARD: val residual > {:.1f}x best "
+                                "for {} epochs - reloaded best checkpoint, "
+                                "lr scale now {:g}".format(
+                                    c.spike_factor, c.spike_patience,
+                                    self.lr_scale))
+
             if epoch % c.plot_every == 0:
                 try:
                     from .plots import plot_losses, plot_gradients
@@ -450,6 +484,7 @@ class Trainer:
             hist_train=self.hist_train,
             hist_val=self.hist_val,
             min_loss_save=self.min_loss_save,
+            lr_scale=self.lr_scale,
             training_time=self.training_time,
         )
         if self.family == "psignn":
@@ -466,6 +501,7 @@ class Trainer:
         self.hist_train = ckpt["hist_train"]
         self.hist_val = ckpt["hist_val"]
         self.min_loss_save = ckpt["min_loss_save"]
+        self.lr_scale = ckpt.get("lr_scale", 1.0)
         self.training_time = ckpt["training_time"]
         if self.family == "psignn":
             self.sched_deq.load_state_dict(ckpt["sched_deq"])

@@ -60,8 +60,8 @@ echo "dss $!" >> logs/resume/pids.txt
 
 nohup python -m psignn_tpu.cli.main --family dsgps --variant dirichlet \
   --path_dataset data/dirichlet --path_results results/dsgps_dirichlet \
-  --k 30 --gamma 0.9 --latent_dim 10 \
-  --lr "$(run_lr results/dsgps_dirichlet 3e-4)" --gradient_clip 0.01 \
+  --k 30 --gamma 0.9 --latent_dim 10 --seed 7 --spike_guard \
+  --lr "$(run_lr results/dsgps_dirichlet 1e-3)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_dirichlet) \
   > logs/resume/dsgps.log 2>&1 &
@@ -69,8 +69,8 @@ echo "dsgps $!" >> logs/resume/pids.txt
 
 nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   --path_dataset data/mixed --path_results results/dsgps_mixed \
-  --k 30 --gamma 0.9 --latent_dim 10 \
-  --lr "$(run_lr results/dsgps_mixed 3e-4)" --gradient_clip 0.01 \
+  --k 30 --gamma 0.9 --latent_dim 10 --spike_guard \
+  --lr "$(run_lr results/dsgps_mixed 1e-3)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_mixed) \
   > logs/resume/dsgps_mixed.log 2>&1 &

@@ -143,3 +143,22 @@ def test_trainer_psignn_stacked_batch(tmp_path, data_dir):
     assert len(tr.hist_val["loss"]) == 2
     assert all(np.isfinite(v) for v in tr.hist_val["loss"])
     assert tr.hist_val["loss"][-1] < 10 * tr.hist_val["loss"][0] + 1e3
+
+
+def test_spike_guard_reloads_and_halves_lr(tmp_path, data_dir):
+    """--spike_guard: a sustained val-residual spike reloads the best
+    checkpoint and halves the effective lr (round-4 training-level failure
+    protection; the dsgps recurrence destabilises at the recorded lr and
+    never recovers unaided, docs/dsgps_dynamics.md)."""
+    from psignn_tpu.cli.main import main
+
+    out = str(tmp_path / "guarded")
+    main(["--family", "dss", "--path_dataset", data_dir,
+          "--path_results", out, "--max_epochs", "4", "--batch_size", "2",
+          "--k", "3", "--spike_guard", "--spike_factor", "1e-6",
+          "--spike_patience", "1"])
+    log = open(os.path.join(out, "logs", "train_metrics.csv")).read()
+    assert "SPIKE GUARD" in log
+    import re
+    scales = re.findall(r"lr scale now ([0-9.e-]+)", log)
+    assert scales and float(scales[-1]) <= 0.5

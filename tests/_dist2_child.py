@@ -74,8 +74,47 @@ def run(mesh):
     return float(loss), float(gnorm)
 
 
+def run_partitioned(mesh):
+    """ONE graph node-partitioned over all 8 GLOBAL devices: the halo
+    ppermutes and the psum'd Broyden stopping norms cross the process
+    boundary (4 local devices per process).  Deterministic, so the parent
+    compares against the single-process 8-device oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from psignn_tpu.data.fem import solve_poisson
+    from psignn_tpu.data.meshgen import blob_mesh
+    from psignn_tpu.data.reader import psignn_sample_from_fem
+    from psignn_tpu.dist.partitioned import (build_partitioned_graph,
+                                             partitioned_psignn_inference)
+    from psignn_tpu.kernels import rcm_permutation
+    from psignn_tpu.kernels.fused_mp import apply_node_permutation
+    from psignn_tpu.models import PsignnConfig, psignn_init
+
+    rng = np.random.default_rng(3)
+    mesh_geo = blob_mesh(radius=1.0, hsize=0.12, rng=rng)
+    s = psignn_sample_from_fem(solve_poisson(mesh_geo, 1.0, rng))
+    perm = rcm_permutation(s["senders"], s["receivers"], len(s["x"]))
+    s = apply_node_permutation(s, perm)
+    cfg = PsignnConfig(solver="broyden", fw_tol=1e-4, fw_thres=30,
+                       bw_thres=12)
+    params = jax.tree.map(np.asarray, psignn_init(jax.random.PRNGKey(0), cfg))
+    pg = build_partitioned_graph(s, n_parts=8)
+
+    def globalize(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P("x"))
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    pg_g = jax.tree.map(globalize, pg)
+    u, ns, lowest, res = partitioned_psignn_inference(params, pg_g, cfg, mesh)
+    ssq = jax.jit(lambda a: jnp.sum(jnp.square(a)))(u)
+    return float(ssq), int(np.asarray(ns)), float(np.asarray(res))
+
+
 def main():
     process_id, port = int(sys.argv[1]), int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "dp"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
@@ -89,10 +128,17 @@ def main():
     assert len(jax.local_devices()) == 4
     assert multihost.is_coordinator() == (process_id == 0)
 
-    mesh = multihost.global_mesh(axis="dp")
-    loss, gnorm = run(mesh)
-    print(f"DIST2_LOSS={loss:.10f}")
-    print(f"DIST2_GNORM={gnorm:.8f}")
+    if mode == "partitioned":
+        mesh = multihost.global_mesh(axis="x")
+        ssq, ns, res = run_partitioned(mesh)
+        print(f"DIST2_SSQ={ssq:.10f}")
+        print(f"DIST2_NSTEP={ns}")
+        print(f"DIST2_RES={res:.10f}")
+    else:
+        mesh = multihost.global_mesh(axis="dp")
+        loss, gnorm = run(mesh)
+        print(f"DIST2_LOSS={loss:.10f}")
+        print(f"DIST2_GNORM={gnorm:.8f}")
     print("DIST2_OK")
 
 

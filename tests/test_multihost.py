@@ -135,3 +135,47 @@ def test_two_process_distributed_dp():
     loss1, gnorm1 = child.run(make_mesh(8))
     np.testing.assert_allclose(losses[0], loss1, rtol=1e-4)
     np.testing.assert_allclose(gnorms[0], gnorm1, rtol=1e-3)
+
+
+def test_two_process_distributed_partitioned_halo():
+    """2 CPU processes x 4 devices: ONE graph node-partitioned over all 8
+    GLOBAL devices — the per-layer halo ppermutes and the psum'd Broyden
+    stopping norms cross the process boundary.  Matches the single-process
+    8-device oracle (round-4: the dp test above never exercised the
+    partitioned solve's collectives across processes)."""
+    import os
+    from psignn_tpu.dist import make_mesh
+
+    env = {"PATH": "/usr/local/bin:/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo:/root/repo/tests",
+           "JAX_PLATFORMS": "cpu",
+           "HOME": os.environ.get("HOME", "/root")}
+    port = 12398
+    procs = [subprocess.Popen(
+        [sys.executable, "/root/repo/tests/_dist2_child.py", str(i),
+         str(port), "partitioned"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert "DIST2_OK" in out, (out, err[-3000:])
+        outs.append(out)
+
+    ssqs = [float(o.split("DIST2_SSQ=")[1].splitlines()[0]) for o in outs]
+    nsteps = [int(o.split("DIST2_NSTEP=")[1].splitlines()[0]) for o in outs]
+    ress = [float(o.split("DIST2_RES=")[1].splitlines()[0]) for o in outs]
+    assert ssqs[0] == ssqs[1], ssqs
+    assert nsteps[0] == nsteps[1], nsteps
+
+    # single-process oracle on this process's 8 virtual devices
+    import _dist2_child as child
+    ssq1, ns1, res1 = child.run_partitioned(make_mesh(8, axis="x"))
+    np.testing.assert_allclose(ssqs[0], ssq1, rtol=1e-5)
+    assert abs(nsteps[0] - ns1) <= 1, (nsteps, ns1)
+    np.testing.assert_allclose(ress[0], res1, rtol=1e-4)

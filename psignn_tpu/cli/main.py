@@ -89,6 +89,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "pairs (ring overwrite, L-BFGS style); bounds the "
                         "per-iteration rank-op HBM traffic. 0 = full memory "
                         "(reference semantics)")
+    p.add_argument("--neumann_init_scale", type=float, default=1.0,
+                   help="mixed dsgps: scale update_neumann's output layer "
+                        "at init (1.0 = reference Xavier; ~0.1 starts the "
+                        "ungated Neumann recurrence contractive - every "
+                        "Xavier seed amplifies on this dataset, "
+                        "docs/dsgps_dynamics.md)")
     p.add_argument("--spike_guard", action="store_true",
                    help="training-level failure protection: on a sustained "
                         "val-residual spike (> spike_factor x best for "
@@ -123,7 +129,8 @@ def build_model_cfg(args):
                             ls=args.broyden_ls)
     if args.family == "dsgps":
         return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
-                           gamma=args.gamma, bc_mode=args.variant)
+                           gamma=args.gamma, bc_mode=args.variant,
+                           neumann_init_scale=args.neumann_init_scale)
     return DssConfig(latent_dim=args.latent_dim, k=args.k, alpha=args.alpha,
                      gamma=args.gamma)
 

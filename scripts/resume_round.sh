@@ -69,7 +69,7 @@ echo "dsgps $!" >> logs/resume/pids.txt
 
 nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   --path_dataset data/mixed --path_results results/dsgps_mixed \
-  --k 30 --gamma 0.9 --latent_dim 10 --spike_guard \
+  --k 30 --gamma 0.9 --latent_dim 10 --spike_guard --neumann_init_scale 0.1 \
   --lr "$(run_lr results/dsgps_mixed 1e-3)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_mixed) \

@@ -165,6 +165,21 @@ def main(argv=None):
     import atexit
     atexit.register(lambda: os.path.exists(pidfile) and os.remove(pidfile))
 
+    # Relaunch recipe for scripts/train_watchdog.sh: the axon tunnel
+    # occasionally deadlocks a long-running trainer mid-dispatch (zero CPU,
+    # no log progress — observed twice in round 4); the watchdog kills the
+    # recorded PID and re-runs this command, which resumes from
+    # running_model.ckpt.
+    import sys as _sys
+    argv_now = list(argv) if argv is not None else _sys.argv[1:]
+    resume_argv = [a for i, a in enumerate(argv_now)
+                   if a != "--resume" and (i == 0 or argv_now[i - 1] != "--resume")]
+    resume_argv += ["--resume",
+                    os.path.join(args.path_results, "ckpt", "running_model.ckpt")]
+    with open(os.path.join(args.path_results, "relaunch.cmd"), "w") as fh:
+        fh.write(" ".join([_sys.executable, "-m", "psignn_tpu.cli.main"]
+                          + resume_argv))
+
     dtype = {"float32": np.float32, "bfloat16": "bfloat16"}[args.precision]
     if dtype == "bfloat16":
         import jax.numpy as jnp

@@ -76,6 +76,9 @@ nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   > logs/resume/dsgps_mixed.log 2>&1 &
 echo "dsgps_mixed $!" >> logs/resume/pids.txt
 
+nohup bash scripts/train_watchdog.sh > logs/resume/watchdog.log 2>&1 &
+echo "watchdog $!" >> logs/resume/pids.txt
+
 echo "Launched (PIDs in logs/resume/pids.txt).  Monitor with:"
 echo "  tail -f results/*/logs/train_metrics.csv"
 echo "Stop with exact PIDs only:  kill \$(awk '{print \$2}' logs/resume/pids.txt)"

@@ -176,8 +176,13 @@ def main(argv=None):
                    if a != "--resume" and (i == 0 or argv_now[i - 1] != "--resume")]
     resume_argv += ["--resume",
                     os.path.join(args.path_results, "ckpt", "running_model.ckpt")]
+    import shlex
     with open(os.path.join(args.path_results, "relaunch.cmd"), "w") as fh:
-        fh.write(" ".join([_sys.executable, "-m", "psignn_tpu.cli.main"]
+        # shlex-quoted: the watchdog re-executes this via `bash -c`, so any
+        # argument with spaces/metacharacters must survive re-parsing
+        # (round-4 advisor finding).
+        fh.write(" ".join(shlex.quote(a) for a in
+                          [_sys.executable, "-m", "psignn_tpu.cli.main"]
                           + resume_argv))
 
     dtype = {"float32": np.float32, "bfloat16": "bfloat16"}[args.precision]

@@ -45,7 +45,8 @@ def shard_stacked(stacked: PaddedGraph, mesh: Mesh, axis: str = "dp"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
 
-def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp"):
+def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp",
+                      sink_dim: int = 0):
     """Build a data-parallel value_and_grad: params replicated, graph sharded.
 
     ``loss_fn(params, graph, rng) -> (loss, aux)`` runs on each device's
@@ -55,16 +56,25 @@ def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp"):
     the cotangent reduction onto the replicated params is handled by jax
     itself (taking grads w.r.t. replicated inputs inside the body would
     auto-psum them and double-count a manual pmean).
+
+    ``sink_dim > 0`` threads a ``(sink_dim,)`` zero gradient sink through
+    each shard (``loss_fn(params, graph, rng, sink)``) and additionally
+    returns its cotangent averaged over the mesh — the DEQ backward-solve
+    stats channel (deq.py: the sink cotangent IS the (lowest, nstep) pair,
+    so the shard_map psum sums raw per-shard values and we divide by the
+    mesh size).  Restores backward_iteration.csv logging under
+    --data_parallel (round-4 advisor finding).
     """
 
-    def dp_loss(params, graph_stacked, rng):
-        def local(p, g_stacked, r):
+    def dp_loss(params, graph_stacked, rng, sink=None):
+        def local(p, g_stacked, r, *s):
             graph = jax.tree.map(
                 lambda x: x.reshape(x.shape[1:]) if x.ndim > 0 else x,
                 g_stacked)
             # decorrelate stochastic probes (jacobian loss) across devices
             r = jax.random.fold_in(r, jax.lax.axis_index(axis))
-            loss, aux = loss_fn(p, graph, r)
+            loss, aux = (loss_fn(p, graph, r, *s) if s
+                         else loss_fn(p, graph, r))
             loss = jax.lax.pmean(loss, axis)
             aux = jax.tree.map(lambda a: jax.lax.pmean(a, axis), aux)
             return loss, aux
@@ -75,10 +85,27 @@ def dp_value_and_grad(loss_fn: Callable, mesh: Mesh, axis: str = "dp"):
         # Autodiff through shard_map still inserts the psum on the params
         # cotangent (verified against the per-device-average oracle in
         # tests/test_dist.py).
+        args = (params, graph_stacked, rng)
+        specs = (P(), P(axis), P())
+        if sink is not None:
+            args += (sink,)
+            specs += (P(),)
         return shard_map(local, mesh=mesh,
-                         in_specs=(P(), P(axis), P()),
+                         in_specs=specs,
                          out_specs=(P(), P()),
-                         check_vma=False)(params, graph_stacked, rng)
+                         check_vma=False)(*args)
+
+    if sink_dim:
+        n_dev = mesh.devices.size
+
+        def vag(params, graph_stacked, rng):
+            sink0 = jnp.zeros((sink_dim,), jnp.float32)
+            (loss, aux), (grads, gsink) = jax.value_and_grad(
+                dp_loss, argnums=(0, 3), has_aux=True)(
+                    params, graph_stacked, rng, sink0)
+            return loss, aux, grads, gsink / n_dev
+
+        return vag
 
     def vag(params, graph_stacked, rng):
         (loss, aux), grads = jax.value_and_grad(

@@ -199,12 +199,20 @@ class Trainer:
             n_dev = getattr(self.loader_train, "n_devices", 0) or \
                 jax.device_count()
             mesh = make_mesh(n_dev)
-            vag = dp_value_and_grad(
-                lambda p, g, r: self._loss_and_aux(p, g, r, True), mesh)
 
             if self.family == "psignn":
+                # sink_dim=2 threads the DEQ backward-stats gradient sink
+                # through each shard so backward_iteration.csv keeps logging
+                # under --data_parallel (round-4 advisor finding).
+                vag = dp_value_and_grad(
+                    lambda p, g, r, s: self._loss_and_aux(p, g, r, True,
+                                                          bw_sink=s),
+                    mesh, sink_dim=2)
+
                 def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):
-                    loss, aux, grads = vag(params, graph, rng)
+                    loss, aux, grads, gsink = vag(params, graph, rng)
+                    aux = dict(aux)
+                    aux["bw_lowest"], aux["bw_nstep"] = gsink[0], gsink[1]
                     grads, gnorm = clip_by_global_norm(grads, clip)
                     pf, sd = adam_update(grads["function"], opt_state["deq"],
                                          params["function"], lr_deq)
@@ -214,6 +222,8 @@ class Trainer:
                     return ({"function": pf, "autoencoder": pa},
                             {"deq": sd, "ae": sa}, loss, aux, gnorm, grads)
             else:
+                vag = dp_value_and_grad(
+                    lambda p, g, r: self._loss_and_aux(p, g, r, True), mesh)
                 def train_step(params, opt_state, graph, rng, lr_deq, lr_ae):
                     del lr_ae
                     loss, aux, grads = vag(params, graph, rng)
@@ -301,9 +311,13 @@ class Trainer:
         c = self.c
         accum = {k: 0.0 for k in LOSS_KEYS}
         n_batches = len(self.loader_train)
+        # lr_scale (spike guard) applies to BOTH families: the psignn
+        # schedulers' lrs are scaled too, so the guard's halving is never a
+        # silent no-op (round-4 advisor finding).
         lr1 = (self.sched_deq.lr if self.family == "psignn"
-               else c.lr * self.lr_scale)
-        lr2 = self.sched_ae.lr if self.family == "psignn" else 0.0
+               else c.lr) * self.lr_scale
+        lr2 = (self.sched_ae.lr * self.lr_scale
+               if self.family == "psignn" else 0.0)
         marks = {math.ceil(f * n_batches) for f in (0.25, 0.5, 0.75)}
 
         # Device-side metric buffers, fetched only at the 25/50/75 % marks
@@ -460,6 +474,12 @@ class Trainer:
                                 "lr scale now {:g}".format(
                                     c.spike_factor, c.spike_patience,
                                     self.lr_scale))
+                    # Re-save running_model so a watchdog restart in the
+                    # window before the next epoch completes resumes from
+                    # the recovered params + halved lr, not the spiked
+                    # state (round-4 advisor finding).
+                    save_checkpoint(self._make_checkpoint(epoch),
+                                    self.path_ckpt, "running_model")
 
             if epoch % c.plot_every == 0:
                 try:

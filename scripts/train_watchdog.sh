@@ -21,6 +21,13 @@ while true; do
     pid=$(cat "$pf")
     case "$pid" in ''|*[!0-9]*) continue;; esac
     tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q psignn_tpu || continue
+    # A 'T' (stopped) state means bench.py pause_trainers() or
+    # tools/with_quiet_chip.sh deliberately SIGSTOPped this trainer for a
+    # quiet-chip measurement; its log is stale on purpose.  Killing it here
+    # would recreate the chip contention the pause exists to avoid
+    # (round-4 advisor finding).
+    state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null)
+    [ "$state" = "T" ] && continue
     log="$run/logs/train_metrics.csv"
     [ -f "$log" ] || continue
     age=$(( now - $(stat -c %Y "$log") ))

@@ -123,6 +123,33 @@ def test_psignn_dp_full_step(samples):
     assert gn > 0 and np.isfinite(gn)
 
 
+def test_psignn_dp_bw_sink(samples):
+    """sink_dim=2 surfaces the DEQ backward-solve stats (mesh-averaged)
+    through the DP path — the backward_iteration.csv channel under
+    --data_parallel (round-4 advisor finding)."""
+    mesh = make_mesh(2)
+    cfg = PsignnConfig(solver="forward_iteration", fw_tol=1e-3, fw_thres=15,
+                       bw_thres=15)
+    params = psignn_init(jax.random.PRNGKey(5), cfg)
+    caps = dict(n_node_cap=512, n_edge_cap=4096)
+    per_dev = [batch_graphs(samples[i:i + 1], **caps) for i in range(2)]
+    stacked = shard_stacked(stack_graphs(per_dev), mesh)
+
+    def loss_fn(p, graph, rng, sink):
+        out = psignn_forward(p, graph, cfg, rng, bw_sink=sink)
+        l = out.losses
+        total = (l["residual_loss"] + l["jacobian_loss"]
+                 + l["encoder_loss"] + l["autoencoder_loss"])
+        return total, {"res": l["residual_loss"]}
+
+    vag = jax.jit(dp_value_and_grad(loss_fn, mesh, sink_dim=2))
+    loss, aux, grads, gsink = vag(params, stacked, jax.random.PRNGKey(6))
+    assert np.isfinite(float(loss))
+    lowest, nstep = float(gsink[0]), float(gsink[1])
+    assert np.isfinite(lowest)
+    assert 0 < nstep <= 15  # mean backward iterations across shards
+
+
 def test_sharded_loader_pads_uneven_batches(samples):
     """Uneven final batches are padded with empty graphs, never dropped."""
     n = 7

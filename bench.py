@@ -206,8 +206,8 @@ def bench_partitioned():
     from psignn_tpu.data.fem import solve_poisson
     from psignn_tpu.data.meshgen import blob_mesh
     from psignn_tpu.data.reader import psignn_sample_from_fem
-    from psignn_tpu.dist import (build_partitioned_graph, make_mesh,
-                                 partitioned_psignn_inference)
+    from psignn_tpu.dist import build_partitioned_graph, make_mesh
+    from psignn_tpu.dist.partitioned import make_partitioned_inference
     from psignn_tpu.kernels import rcm_permutation
     from psignn_tpu.kernels.fused_mp import apply_node_permutation
     from psignn_tpu.models import PsignnConfig, psignn_init
@@ -226,13 +226,13 @@ def bench_partitioned():
     mesh = make_mesh(n_dev, axis="x")
     pg = build_partitioned_graph(s, n_parts=n_dev)
 
-    u, ns, lowest, res = partitioned_psignn_inference(params, pg, cfg, mesh)
+    fn = make_partitioned_inference(cfg, mesh, pg.n_parts, pg.halo)
+    u, ns, lowest, res = fn(params, pg)
     np.asarray(u)
     reps, times = 3, []
     for _ in range(reps):
         t0 = time.perf_counter()
-        u, ns, lowest, res = partitioned_psignn_inference(
-            params, pg, cfg, mesh)
+        u, ns, lowest, res = fn(params, pg)
         np.asarray(u)
         times.append(time.perf_counter() - t0)
     dt = min(times)

@@ -225,13 +225,13 @@ def partitioned_residual_local(u, u_ext, pg, red):
     return num / den
 
 
-def partitioned_psignn_inference(params: Dict, pg: PartitionedGraph,
-                                 cfg, mesh: Mesh, axis: str = "x"):
-    """Full partitioned inference: encoder → fixed point (psum'd stopping
-    norm) → decoder → global residual.  Matches
-    ``models.psignn.psignn_inference`` iterate-for-iterate on one device
-    set; returns (u (n_parts, n_loc, 1), nstep, lowest, residual)."""
-    n_parts, halo = pg.n_parts, pg.halo
+def make_partitioned_inference(cfg, mesh: Mesh, n_parts: int, halo: int,
+                               axis: str = "x") -> Callable:
+    """Build the jitted partitioned inference once (call it many times with
+    graphs of the same (n_parts, n_loc, halo) packing — rebuilding per call
+    re-traces, which is what kept the partition bench unrecorded in r4).
+
+    Returns ``fn(params, pg) -> (u, nstep, lowest, residual)``."""
     f = make_partitioned_function(cfg, n_parts, halo, axis)
     solver = get_solver(cfg.solver)
     kw = _solver_kwargs(cfg.deq)
@@ -253,7 +253,19 @@ def partitioned_psignn_inference(params: Dict, pg: PartitionedGraph,
         local, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(axis), P(), P(), P()),
-        check_vma=False))(params, pg)
+        check_vma=False))
+
+
+def partitioned_psignn_inference(params: Dict, pg: PartitionedGraph,
+                                 cfg, mesh: Mesh, axis: str = "x"):
+    """Full partitioned inference: encoder → fixed point (psum'd stopping
+    norm) → decoder → global residual.  Matches
+    ``models.psignn.psignn_inference`` iterate-for-iterate on one device
+    set; returns (u (n_parts, n_loc, 1), nstep, lowest, residual).
+    Convenience wrapper over ``make_partitioned_inference`` (one-shot
+    callers); loops should build once."""
+    fn = make_partitioned_inference(cfg, mesh, pg.n_parts, pg.halo, axis)
+    return fn(params, pg)
 
 
 def partitioned_psignn_inference_dp(params: Dict, pg_stacked,

@@ -202,6 +202,8 @@ def bench_train_step(use_pallas: bool):
 
 def bench_partitioned():
     """Partitioned solve of the headline mesh across all local devices."""
+    import os
+
     import jax
     from psignn_tpu.data.fem import solve_poisson
     from psignn_tpu.data.meshgen import blob_mesh
@@ -224,7 +226,13 @@ def bench_partitioned():
     cfg = PsignnConfig(solver="broyden", fw_tol=0.0, fw_thres=nstep)
     params = psignn_init(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(n_dev, axis="x")
-    pg = build_partitioned_graph(s, n_parts=n_dev)
+    # default: fused per-shard Pallas MP (PSIGNN_TPU_BENCH_PALLAS=0 opts
+    # out) — same A/B knob as the single-device headline bench
+    use_pallas = os.environ.get("PSIGNN_TPU_BENCH_PALLAS", "1") == "1" \
+        and jax.default_backend() == "tpu"
+    from psignn_tpu import ops
+    ops.USE_PALLAS_MP = use_pallas
+    pg = build_partitioned_graph(s, n_parts=n_dev, pallas=use_pallas)
 
     fn = make_partitioned_inference(cfg, mesh, pg.n_parts, pg.halo)
     u, ns, lowest, res = fn(params, pg)
@@ -246,6 +254,7 @@ def bench_partitioned():
             "n_nodes": int(mesh_geo.n_points), "n_edges": int(n_edges),
             "n_devices": n_dev, "iters": nstep, "wall_s": round(dt, 4),
             "halo": int(pg.halo), "n_loc": int(pg.n_loc),
+            "pallas_mp": bool(use_pallas),
             "residual": float(res),
         },
     }))

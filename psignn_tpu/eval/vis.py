@@ -362,3 +362,202 @@ def plot_zoo_grid(samples: Dict[str, Dict[str, np.ndarray]], path,
     fig.savefig(path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_iterative_montage(pos, u_trace, path, sol=None, iters=None,
+                           res_trace=None, ncols=4, title="",
+                           triangles=None, cmap="viridis"):
+    """Per-iteration solution-map montage — the reference's
+    ``plot_iterative_updates`` (vis.py:148-242): a grid of decoded iterates
+    U_k on the mesh, labeled with iteration index (and residual when
+    given), sharing ONE color scale so magnitude reads across panels.
+
+    ``u_trace``: (T, N, 1) decoded iterates (psignn_iterative_inference
+    ``trace["u"]`` / dsgps_iterative_inference); ``iters``: which iterate
+    indices to show (default: ~ncols*2 evenly spaced incl. first/last)."""
+    u_trace = np.asarray(u_trace)
+    T = u_trace.shape[0]
+    if iters is None:
+        n_show = min(T, ncols * 2)
+        iters = sorted({int(i) for i in np.linspace(0, T - 1, n_show)})
+    tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
+           if triangles is not None else _triangulation(pos))
+    fields = [u_trace[i].ravel() for i in iters]
+    if sol is not None:
+        fields.append(np.asarray(sol).ravel())
+    vmin = min(f.min() for f in fields)
+    vmax = max(f.max() for f in fields)
+    levels = np.linspace(vmin, vmax, 31)
+    n_panels = len(iters) + (1 if sol is not None else 0)
+    nrows = -(-n_panels // ncols)
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(3.6 * ncols, 3.1 * nrows))
+    axes = np.atleast_1d(axes).ravel()
+    tc = None
+    for ax, it in zip(axes, iters):
+        tc = ax.tricontourf(tri, u_trace[it].ravel(), levels=levels,
+                            cmap=cmap)
+        lab = f"iteration {it}"
+        if res_trace is not None:
+            lab += f"  (res {float(np.asarray(res_trace)[it]):.2e})"
+        ax.set_title(lab, fontsize=9)
+        ax.set_aspect("equal")
+        ax.set_xticks([]); ax.set_yticks([])
+    if sol is not None:
+        ax = axes[len(iters)]
+        tc = ax.tricontourf(tri, np.asarray(sol).ravel(), levels=levels,
+                            cmap=cmap)
+        ax.set_title("FEM solution", fontsize=9)
+        ax.set_aspect("equal")
+        ax.set_xticks([]); ax.set_yticks([])
+    for ax in axes[n_panels:]:
+        ax.axis("off")
+    if tc is not None:
+        fig.colorbar(tc, ax=list(axes), shrink=0.8, fraction=0.03)
+    if title:
+        fig.suptitle(title)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_paper_figure(pos, tags, u_trace, sol, path, res_trace=None,
+                      nstep=None, title="", triangles=None):
+    """Paper-style composite — the reference's ``plot_paper`` /
+    ``plot_paper_2`` (vis.py:705-962): node types, initial state, two
+    intermediate iterates, final solution vs FEM ground truth, error map,
+    and the residual convergence curve, in one figure."""
+    u_trace = np.asarray(u_trace)
+    sol = np.asarray(sol).ravel()
+    T = u_trace.shape[0]
+    last = (int(nstep) if nstep is not None else T) - 1
+    last = max(0, min(last, T - 1))
+    mids = sorted({max(1, last // 3), max(2, (2 * last) // 3)})
+    tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
+           if triangles is not None else _triangulation(pos))
+    u_final = u_trace[last].ravel()
+    fields = [u_trace[0].ravel(), *(u_trace[m].ravel() for m in mids),
+              u_final, sol]
+    vmin = min(f.min() for f in fields); vmax = max(f.max() for f in fields)
+    levels = np.linspace(vmin, vmax, 31)
+
+    fig = plt.figure(figsize=(19, 8.5))
+    gs = fig.add_gridspec(2, 4, hspace=0.25, wspace=0.2)
+    panels = [
+        ("initial state $U_0$", u_trace[0].ravel(), levels, "viridis"),
+        *[(f"iteration {m}", u_trace[m].ravel(), levels, "viridis")
+          for m in mids],
+        (f"final (iteration {last})", u_final, levels, "viridis"),
+        ("FEM solution", sol, levels, "viridis"),
+        ("|u − sol|", np.abs(u_final - sol), None, "magma"),
+    ]
+    tc_main = None
+    for i, (name, field, lv, cmap) in enumerate(panels):
+        ax = fig.add_subplot(gs[i // 4, i % 4])
+        tc = ax.tricontourf(tri, field, levels=(lv if lv is not None
+                                                else 30), cmap=cmap)
+        if lv is not None:
+            tc_main = tc
+        else:
+            fig.colorbar(tc, ax=ax, shrink=0.85)
+        ax.set_title(name, fontsize=10)
+        ax.set_aspect("equal")
+        ax.set_xticks([]); ax.set_yticks([])
+    # node types
+    ax = fig.add_subplot(gs[1, 2])
+    tags = np.asarray(tags).reshape(len(pos), -1)
+    bnd = tags[:, 0] == 1 if tags.shape[1] == 1 else tags[:, 1] == 1
+    ax.scatter(pos[~bnd, 0], pos[~bnd, 1], s=3, c="tab:gray",
+               label="interior")
+    ax.scatter(pos[bnd, 0], pos[bnd, 1], s=5, c="tab:blue",
+               label="dirichlet")
+    if tags.shape[1] == 3:
+        neu = tags[:, 2] == 1
+        ax.scatter(pos[neu, 0], pos[neu, 1], s=5, c="tab:red",
+                   label="neumann")
+    ax.set_title("node types", fontsize=10)
+    ax.set_aspect("equal"); ax.set_xticks([]); ax.set_yticks([])
+    ax.legend(fontsize=7, loc="upper right")
+    # convergence curve
+    ax = fig.add_subplot(gs[1, 3])
+    if res_trace is not None:
+        r = np.asarray(res_trace).ravel()[:last + 1]
+        ax.semilogy(np.arange(1, len(r) + 1), r, lw=1.8, color="tab:blue")
+        ax.set_xlabel("iteration"); ax.set_ylabel("residual ‖Au−b‖²")
+        ax.set_title("convergence", fontsize=10)
+        ax.grid(alpha=0.25)
+    else:
+        ax.axis("off")
+    if tc_main is not None:
+        fig.colorbar(tc_main, ax=fig.axes[:len(panels) - 1], shrink=0.7,
+                     fraction=0.02)
+    if title:
+        fig.suptitle(title, fontsize=13)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+# fixed categorical assignment for run-comparison curves: color follows the
+# run identity everywhere these figures appear (never re-cycled per plot)
+RUN_COLORS = {
+    "psignn": "#1f77b4", "dsgps": "#d62728", "dss": "#2ca02c",
+    "psignn_mixed": "#9467bd", "dsgps_mixed": "#e377c2",
+    "reference": "#7f7f7f",
+}
+
+
+def parse_val_curve(csv_path: str, key: str = "Res"):
+    """(epochs, values) of a per-epoch validation metric from a
+    train_metrics.csv (ours or the reference's — same line format)."""
+    import re
+    eps, vals = [], []
+    pat = re.compile(r"Validation Epoch (\d+) :(.*)")
+    kpat = re.compile(rf"{key} : ([0-9.eE+-]+)")
+    with open(csv_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if not m:
+                continue
+            km = kpat.search(m.group(2))
+            if km:
+                eps.append(int(m.group(1)))
+                vals.append(float(km.group(1)))
+    return np.asarray(eps), np.asarray(vals)
+
+
+def plot_training_comparison(runs: Dict[str, str], path,
+                             ref_runs: Optional[Dict[str, str]] = None,
+                             key: str = "Res",
+                             title="Validation residual vs epoch"):
+    """Multi-run training-curve comparison — the reference's
+    ``visualize_losses`` / ``plot_multi_residual`` (vis.py:1197-1262):
+    each run's per-epoch validation metric on ONE log axis; our runs in
+    the fixed run colors, reference curves dashed in the same hue."""
+    fig, ax = plt.subplots(figsize=(8.5, 5))
+    for name, csv in runs.items():
+        if not os.path.exists(csv):
+            continue
+        eps, vals = parse_val_curve(csv, key)
+        if len(eps) == 0:
+            continue
+        c = RUN_COLORS.get(name, "#17becf")
+        ax.semilogy(eps, vals, lw=1.8, color=c, label=f"{name} (ours)")
+    for name, csv in (ref_runs or {}).items():
+        if not os.path.exists(csv):
+            continue
+        eps, vals = parse_val_curve(csv, key)
+        if len(eps) == 0:
+            continue
+        c = RUN_COLORS.get(name, "#7f7f7f")
+        ax.semilogy(eps, vals, lw=1.4, ls="--", color=c, alpha=0.8,
+                    label=f"{name} (reference)")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(f"val {key} (log)")
+    ax.set_title(title)
+    ax.grid(alpha=0.25, which="both")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

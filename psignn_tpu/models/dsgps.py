@@ -193,6 +193,25 @@ def dsgps_forward(params: Dict, graph: PaddedGraph, cfg: DsgpsConfig) -> DsgpsOu
     return DsgpsOutput(u_final=U_final, losses=losses)
 
 
+def dsgps_iterative_inference(params: Dict, graph: PaddedGraph,
+                              cfg: DsgpsConfig, k: int = None):
+    """Decoded iterate trace (U_1..U_k) + per-iterate residual/MSE — the
+    dsgps analog of psignn_iterative_inference, for the iterate-inspection
+    figures (reference dirichlet/dsgps/test visualizations)."""
+    k = k or cfg.k
+    ae = params["autoencoder"]
+    H0 = _enc_apply(ae, graph.x) * graph.fnode_mask
+
+    def body(H, _):
+        H = _step(params, cfg, graph, H, H0)
+        return H, _dec_apply(ae, H) * graph.fnode_mask
+
+    _, U_stack = jax.lax.scan(body, H0, None, length=k)
+    res = residual_loss_stacked(U_stack, graph)
+    mse = mse_masked_stacked(U_stack, graph.sol, graph.node_mask)
+    return dict(u_trace=U_stack, res=res, mse=mse, initial=graph.x)
+
+
 def dsgps_inference(params: Dict, graph: PaddedGraph, cfg: DsgpsConfig,
                     k: int = None) -> jax.Array:
     """Loss-free unroll (dsgps/model.py:130-163); k overridable at test time

@@ -28,6 +28,21 @@ _ap.add_argument("--seed", type=int, default=1234)
 _ap.add_argument("--neumann_init_scale", type=float, default=1.0,
                  help="scale update_neumann output layer at init (1.0 = "
                       "reference-faithful Xavier)")
+_ap.add_argument("--clip", type=float, default=0.01,
+                 help="clip_grad_norm_ max-norm (reference: 0.01).  At our "
+                      "data's loss scale (~1e3 vs the reference log's ~24) "
+                      "the 0.01 clip binds ~100x harder — arms >0.01 test "
+                      "whether clip starvation is what pins Enc high")
+_ap.add_argument("--lr", type=float, default=1e-3)
+_ap.add_argument("--enc_semantics", choices=["detach", "freeze"],
+                 default="detach",
+                 help="detach = reference mixed semantics "
+                      "(mixed/dsgps/model.py:108-115); freeze = the "
+                      "DIRICHLET variant's semantics (dsgps/model.py:"
+                      "100-112, enc-loss value-gradients flow into H) — "
+                      "tests whether the manifold pull the dirichlet "
+                      "variant gets for free is what our mixed data "
+                      "realization needs to tame Enc")
 _args = _ap.parse_args()
 torch.manual_seed(_args.seed); np.random.seed(_args.seed)
 
@@ -113,9 +128,17 @@ def forward(m, g, k=30, gamma=0.9):
         U = m.dec(H)
         Au = torch.zeros_like(U).index_add(0, g["snd"], g["aij"] * U[g["rcv"]])
         res = ((Au - g["b"])**2).mean()
-        u_det = U.detach(); h_det = H.detach()
-        enc_l = mseL(m.enc(u_det), h_det)
-        auto_l = mseL(m.dec(m.enc(u_det).detach()), u_det)
+        if _args.enc_semantics == "freeze":
+            for p in m.dec.parameters(): p.requires_grad_(False)
+            enc_l = mseL(m.enc(m.dec(H)), H)
+            for p in m.dec.parameters(): p.requires_grad_(True)
+            for p in m.enc.parameters(): p.requires_grad_(False)
+            auto_l = mseL(m.dec(m.enc(U)), U)
+            for p in m.enc.parameters(): p.requires_grad_(True)
+        else:
+            u_det = U.detach(); h_det = H.detach()
+            enc_l = mseL(m.enc(u_det), h_det)
+            auto_l = mseL(m.dec(m.enc(u_det).detach()), u_det)
         total = total + res * gamma**(k-u-1) + enc_l + auto_l
     return total, float(res), float(enc_l), float(auto_l)
 
@@ -123,7 +146,7 @@ model = DSGPSMixed()
 if _args.neumann_init_scale != 1.0:
     with torch.no_grad():
         model.update_neumann[-1].weight.mul_(_args.neumann_init_scale)
-opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+opt = torch.optim.Adam(model.parameters(), lr=_args.lr)
 step = 0
 for ep in range(_args.epochs):
     order = np.random.permutation(len(train))
@@ -133,7 +156,7 @@ for ep in range(_args.epochs):
         opt.zero_grad()
         loss, res, enc, auto = forward(model, g)
         loss.backward()
-        torch.nn.utils.clip_grad_norm_(model.parameters(), 0.01)
+        torch.nn.utils.clip_grad_norm_(model.parameters(), _args.clip)
         opt.step(); step += 1
     # quick val on one 50-graph batch
     with torch.no_grad():

@@ -1,0 +1,50 @@
+#!/bin/bash
+# Measure a TRUE solo epoch time for one training run (VERDICT r4 weak #3:
+# the 291 s psignn solo figure was extrapolated from one benched step, never
+# demonstrated over a real epoch).  SIGSTOPs every other registered trainer
+# (exact pidfile-verified PIDs — never pattern-matched), waits for the
+# target run to complete two epoch boundaries (the first may straddle the
+# pause), then SIGCONTs everything.  The watchdog skips 'T'-state PIDs, so
+# paused trainers are safe from it.
+#
+# Usage: bash tools/solo_epoch.sh results/psignn_dirichlet [timeout_s]
+set -u
+cd "$(dirname "$0")/.."
+TARGET=${1:?usage: solo_epoch.sh results/<run> [timeout_s]}
+TIMEOUT=${2:-2400}
+LOG="$TARGET/logs/train_metrics.csv"
+[ -f "$LOG" ] || { echo "no $LOG"; exit 1; }
+
+paused=()
+for pf in results/*/trainer.pid; do
+  [ -f "$pf" ] || continue
+  run=$(dirname "$pf")
+  [ "$run" = "$TARGET" ] && continue
+  pid=$(cat "$pf")
+  case "$pid" in ''|*[!0-9]*) continue;; esac
+  tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q psignn_tpu || continue
+  kill -STOP "$pid" && paused+=("$pid") && echo "paused $run ($pid)"
+done
+
+resume() { for p in "${paused[@]:-}"; do kill -CONT "$p" 2>/dev/null; done; echo "resumed ${#paused[@]} trainers"; }
+trap resume EXIT INT TERM
+
+n0=$(grep -c "finished, took current epoch" "$LOG")
+want=$((n0 + 2))
+t0=$(date +%s)
+echo "waiting for 2 epoch completions in $LOG (have $n0)..."
+while :; do
+  sleep 20
+  n=$(grep -c "finished, took current epoch" "$LOG")
+  now=$(date +%s)
+  if [ "$n" -ge "$want" ]; then
+    echo "== solo epoch times (second line is the fully-solo one):"
+    grep "finished, took current epoch" "$LOG" | tail -2
+    exit 0
+  fi
+  if [ $((now - t0)) -gt "$TIMEOUT" ]; then
+    echo "timeout after $((now - t0))s with $((n - n0)) completions"
+    grep "finished, took current epoch" "$LOG" | tail -1
+    exit 2
+  fi
+done

@@ -89,6 +89,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "pairs (ring overwrite, L-BFGS style); bounds the "
                         "per-iteration rank-op HBM traffic. 0 = full memory "
                         "(reference semantics)")
+    p.add_argument("--enc_loss_mode", type=str, default="",
+                   choices=["", "freeze", "detach"],
+                   help="dsgps only: override the per-variant enc/autoenc "
+                        "loss gradient-routing semantics (dirichlet "
+                        "reference: freeze, mixed reference: detach); see "
+                        "DsgpsConfig.enc_loss_override")
     p.add_argument("--neumann_init_scale", type=float, default=1.0,
                    help="mixed dsgps: scale update_neumann's output layer "
                         "at init (1.0 = reference Xavier; ~0.1 starts the "
@@ -130,7 +136,8 @@ def build_model_cfg(args):
     if args.family == "dsgps":
         return DsgpsConfig(latent_dim=args.latent_dim, k=args.k,
                            gamma=args.gamma, bc_mode=args.variant,
-                           neumann_init_scale=args.neumann_init_scale)
+                           neumann_init_scale=args.neumann_init_scale,
+                           enc_loss_override=args.enc_loss_mode)
     return DssConfig(latent_dim=args.latent_dim, k=args.k, alpha=args.alpha,
                      gamma=args.gamma)
 

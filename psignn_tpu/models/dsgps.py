@@ -45,6 +45,14 @@ class DsgpsConfig:
     # draw happened to be tame.  1.0 = reference-faithful Xavier; ~0.1
     # starts the recurrence contractive without changing the model.
     neumann_init_scale: float = 1.0
+    # '' = per-variant reference semantics (dirichlet: freeze, mixed:
+    # detach).  'freeze'|'detach' overrides — the losses only route
+    # gradients differently; the model family is identical.  The freeze
+    # semantics' enc-loss value-gradients pull the latent trajectory onto
+    # the encoder manifold, which the mixed detach semantics lack; on our
+    # mixed data realization the reference's own algorithm leaves Enc ~1e2
+    # without that pull (tools/reference_oracle_dsgps_mixed.py, round 5).
+    enc_loss_override: str = ""
 
     @property
     def prb_dim(self) -> int:
@@ -53,6 +61,8 @@ class DsgpsConfig:
     @property
     def enc_loss_mode(self) -> str:
         # dirichlet: parameter-freezing semantics; mixed: detached values
+        if self.enc_loss_override:
+            return self.enc_loss_override
         return "freeze" if self.bc_mode == "dirichlet" else "detach"
 
 

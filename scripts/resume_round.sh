@@ -67,14 +67,23 @@ nohup python -m psignn_tpu.cli.main --family dsgps --variant dirichlet \
   > logs/resume/dsgps.log 2>&1 &
 echo "dsgps $!" >> logs/resume/pids.txt
 
+# --enc_loss_mode freeze: the round-5 fix for the detach-semantics Enc
+# explosion on our mixed data realization (docs/dsgps_dynamics.md round-5
+# addendum; the archived detach arm is results/dsgps_mixed_detach_arm)
 nohup nice -n 8 python -m psignn_tpu.cli.main --family dsgps --variant mixed \
   --path_dataset data/mixed --path_results results/dsgps_mixed \
   --k 30 --gamma 0.9 --latent_dim 10 --spike_guard --neumann_init_scale 0.1 \
+  --enc_loss_mode freeze --seed 7 \
   --lr "$(run_lr results/dsgps_mixed 1e-3)" --gradient_clip 0.01 \
   --batch_size 50 --max_epochs 400 --cache_batches 1 \
   $(resume_flag results/dsgps_mixed) \
   > logs/resume/dsgps_mixed.log 2>&1 &
 echo "dsgps_mixed $!" >> logs/resume/pids.txt
+
+# Mixed-BC Ψ-GNN (round-5 from-scratch run; reference: mixed/psignn 400
+# epochs, endpoint val Res 3.17e-3)
+nohup bash scripts/train_psignn_mixed.sh > logs/resume/psignn_mixed.log 2>&1 &
+echo "psignn_mixed $!" >> logs/resume/pids.txt
 
 nohup bash scripts/train_watchdog.sh > logs/resume/watchdog.log 2>&1 &
 echo "watchdog $!" >> logs/resume/pids.txt

@@ -121,3 +121,40 @@ def test_plot_radius_comparison(tmp_path):
             f.write("time,0.03,0.05\n")
     p = vis.plot_radius_comparison(str(d), str(tmp_path / "cmp.png"))
     assert os.path.getsize(p) > 0
+
+
+def test_round5_figure_generators(tmp_path):
+    """Smoke the r5 paper-figure suite (montage, composite, curve
+    comparison) on synthetic data — the real-checkpoint driver is
+    tools/make_figures.py."""
+    import numpy as np
+    from psignn_tpu.eval.vis import (plot_iterative_montage,
+                                     plot_paper_figure,
+                                     plot_training_comparison,
+                                     parse_val_curve)
+    rng = np.random.default_rng(0)
+    n, T = 60, 12
+    pos = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    u_trace = rng.normal(size=(T, n, 1)).astype(np.float32)
+    sol = rng.normal(size=(n, 1)).astype(np.float32)
+    res = np.geomspace(10, 1e-3, T)
+    tags = np.zeros((n, 1), np.float32)
+    tags[:10] = 1.0
+
+    p1 = plot_iterative_montage(pos, u_trace, str(tmp_path / "m.png"),
+                                sol=sol, res_trace=res)
+    p2 = plot_paper_figure(pos, tags, u_trace, sol,
+                           str(tmp_path / "p.png"), res_trace=res,
+                           nstep=T)
+    csv = tmp_path / "tm.csv"
+    csv.write_text("Train Metrics\n" + "\n".join(
+        f"Validation Epoch {e} : \t Train : 1e0 \t Res : {r:.3e} \t "
+        f"Jac : 0 \t Enc : 0 \t AE : 0 \t MSE : 1"
+        for e, r in enumerate(res)))
+    eps, vals = parse_val_curve(str(csv))
+    assert len(eps) == T and abs(vals[0] - 10) < 1e-6
+    p3 = plot_training_comparison({"psignn": str(csv)},
+                                  str(tmp_path / "c.png"),
+                                  ref_runs={"psignn": str(csv)})
+    import os
+    assert all(os.path.getsize(p) > 5000 for p in (p1, p2, p3))

@@ -160,6 +160,36 @@ def test_dsgps_mixed_forward():
     assert np.isfinite(float(out.losses["train_loss"]))
 
 
+def test_dsgps_mixed_enc_loss_override():
+    """--enc_loss_mode freeze on the mixed variant (the round-5 fix,
+    docs/dsgps_dynamics.md): loss VALUES change only via gradient
+    routing; freeze mode must route enc-loss gradients into the
+    recurrence (via H) where detach mode must not, and the override must
+    survive a config round-trip through checkpoint hyperparameters."""
+    import dataclasses
+    g = mixed_synthetic_graph()
+    cfg_d = DsgpsConfig(k=3, bc_mode="mixed")
+    cfg_f = DsgpsConfig(k=3, bc_mode="mixed", enc_loss_override="freeze")
+    assert cfg_d.enc_loss_mode == "detach" and cfg_f.enc_loss_mode == "freeze"
+    params = dsgps_init(jax.random.PRNGKey(7), cfg_f)
+
+    # config survives the trainer's hyperparameters round-trip
+    assert DsgpsConfig(**dataclasses.asdict(cfg_f)).enc_loss_mode == "freeze"
+
+    # in detach mode the enc loss backprops ONLY into the encoder; in
+    # freeze mode its value-gradients reach the recurrence params too
+    def enc_term(p, cfg):
+        return dsgps_forward(p, g, cfg).losses["encoder_loss"]
+    g_det = jax.grad(lambda p: enc_term(p, cfg_d))(params)
+    g_frz = jax.grad(lambda p: enc_term(p, cfg_f))(params)
+    corr_det = sum(float(jnp.sum(x ** 2))
+                   for x in jax.tree.leaves(g_det["correction"]))
+    corr_frz = sum(float(jnp.sum(x ** 2))
+                   for x in jax.tree.leaves(g_frz["correction"]))
+    assert corr_det == 0.0
+    assert corr_frz > 0.0
+
+
 def test_dss_forward_and_grads(dss_graph):
     cfg = DssConfig(k=4, alpha=1e-3, gamma=0.9)
     params = dss_init(jax.random.PRNGKey(8), cfg)

@@ -7,6 +7,13 @@
 # pause), then SIGCONTs everything.  The watchdog skips 'T'-state PIDs, so
 # paused trainers are safe from it.
 #
+# KNOWN COST (round-5, observed 3/7 paused trainers across two uses):
+# SIGCONT after a multi-minute SIGSTOP can leave an axon trainer hung
+# mid-dispatch (process alive, zero progress).  The watchdog detects and
+# restarts it from running_model.ckpt within its staleness window, or
+# restart manually with the run's relaunch.cmd — budget ~1 lost epoch per
+# paused run when using this tool.
+#
 # Usage: bash tools/solo_epoch.sh results/psignn_dirichlet [timeout_s]
 set -u
 cd "$(dirname "$0")/.."

@@ -432,7 +432,10 @@ def plot_paper_figure(pos, tags, u_trace, sol, path, res_trace=None,
     T = u_trace.shape[0]
     last = (int(nstep) if nstep is not None else T) - 1
     last = max(0, min(last, T - 1))
-    mids = sorted({max(1, last // 3), max(2, (2 * last) // 3)})
+    # clamp to the trace: a 1-2 iterate run has no distinct mid panels
+    mids = sorted({min(max(1, last // 3), last),
+                   min(max(2, (2 * last) // 3), last)} - {0, last}) \
+        if last > 1 else []
     tri = (mtri.Triangulation(pos[:, 0], pos[:, 1], triangles)
            if triangles is not None else _triangulation(pos))
     u_final = u_trace[last].ravel()
@@ -509,9 +512,15 @@ RUN_COLORS = {
 
 def parse_val_curve(csv_path: str, key: str = "Res"):
     """(epochs, values) of a per-epoch validation metric from a
-    train_metrics.csv (ours or the reference's — same line format)."""
+    train_metrics.csv (ours or the reference's — same line format).
+
+    Watchdog/resume restarts append duplicate 'Validation Epoch N' lines
+    (the running checkpoint lags the log by up to an epoch), so epochs
+    are deduplicated keeping the LAST occurrence and returned sorted —
+    position in the returned arrays is NOT the epoch number; use the
+    epoch column."""
     import re
-    eps, vals = [], []
+    by_epoch = {}
     pat = re.compile(r"Validation Epoch (\d+) :(.*)")
     kpat = re.compile(rf"{key} : ([0-9.eE+-]+)")
     with open(csv_path) as f:
@@ -521,9 +530,9 @@ def parse_val_curve(csv_path: str, key: str = "Res"):
                 continue
             km = kpat.search(m.group(2))
             if km:
-                eps.append(int(m.group(1)))
-                vals.append(float(km.group(1)))
-    return np.asarray(eps), np.asarray(vals)
+                by_epoch[int(m.group(1))] = float(km.group(1))
+    eps = np.asarray(sorted(by_epoch))
+    return eps, np.asarray([by_epoch[e] for e in eps])
 
 
 def plot_training_comparison(runs: Dict[str, str], path,

@@ -216,7 +216,17 @@ def dsgps_iterative_inference(params: Dict, graph: PaddedGraph,
         H = _step(params, cfg, graph, H, H0)
         return H, _dec_apply(ae, H) * graph.fnode_mask
 
-    _, U_stack = jax.lax.scan(body, H0, None, length=k)
+    from .. import ops
+    if ops.USE_PALLAS_MP and graph.mp_blocks_to is not None:
+        # pallas_call inside lax.scan trips XLA constant lowering — same
+        # Python-unroll workaround as dsgps_forward above
+        H, us = H0, []
+        for _ in range(k):
+            H, u = body(H, None)
+            us.append(u)
+        U_stack = jnp.stack(us)
+    else:
+        _, U_stack = jax.lax.scan(body, H0, None, length=k)
     res = residual_loss_stacked(U_stack, graph)
     mse = mse_masked_stacked(U_stack, graph.sol, graph.node_mask)
     return dict(u_trace=U_stack, res=res, mse=mse, initial=graph.x)

@@ -426,9 +426,12 @@ class Trainer:
 
             self.training_time += time.time() - t0
 
+            # compare EFFECTIVE lrs: the spike guard's lr_scale applies to
+            # the psignn schedulers too (advisor r5 finding — without it a
+            # guard-halved run can sit below the floor forever)
             if (self.family == "psignn"
-                    and self.sched_deq.lr <= c.lr_floor
-                    and self.sched_ae.lr <= c.lr_floor):
+                    and self.sched_deq.lr * self.lr_scale <= c.lr_floor
+                    and self.sched_ae.lr * self.lr_scale <= c.lr_floor):
                 with open(os.path.join(self.path_logs,
                                        "train_metrics.csv"), "a") as f:
                     f.write("\nTraining exit because both learning rates too low !")

@@ -12,12 +12,18 @@
 set -u
 cd "$(dirname "$0")/.."
 FINAL=results/dsgps_dirichlet/ckpt/final_model.ckpt
-echo "waiting for $FINAL ..."
-for i in $(seq 1 720); do
-  [ -f "$FINAL" ] && break
+# Gate on final_model being NEWER than this launch, not mere existence —
+# a stale final_model.ckpt from an earlier bounded run made the r5
+# invocation fire immediately, overlapping the arms with the flagship
+# run's last 16 annealing epochs (advisor r5 finding; noted in the A/B
+# writeup in docs/PERF.md).
+T0=$(date +%s)
+echo "waiting for $FINAL newer than $(date -u -d @$T0 +%FT%TZ) ..."
+while :; do
+  if [ -f "$FINAL" ] && [ "$(stat -c %Y "$FINAL")" -ge "$T0" ]; then break; fi
   sleep 20
+  [ $(( $(date +%s) - T0 )) -gt 86400 ] && { echo "timed out"; exit 2; }
 done
-[ -f "$FINAL" ] || { echo "timed out waiting for dsgps_dirichlet"; exit 2; }
 echo "dsgps_dirichlet finished; launching A/B arms"
 
 common="--family dsgps --variant dirichlet --path_dataset data/dirichlet \

@@ -15,46 +15,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from psignn_tpu.eval.registry import OUR_CURVES, REF_CURVES
 from psignn_tpu.eval.vis import parse_val_curve
 
-REF = "/root/reference"
+NOTES = {
+    "psignn": "Reference: 700-epoch protocol, endpoint val Res 2.90e-3.",
+    "dsgps": "Reference: 400-epoch protocol, endpoint val Res 1.65e-3.  "
+             "Epochs past 400 are the round-5 reshuffled tail arm "
+             "(docs/PERF.md cache_batches A/B).",
+    "dss": "Reference: 400-epoch protocol.",
+    "dsgps_mixed": "Round-5 freeze-semantics run (docs/dsgps_dynamics.md); "
+                   "the archived detach arm is "
+                   "results/dsgps_mixed_detach_arm.  Reference endpoint "
+                   "val Res 2.79e-3 at ep399.",
+    "psignn_mixed": "Round-5 from-scratch run — the family's first "
+                    "training in this framework.  Reference: 400 epochs, "
+                    "endpoint val Res 3.17e-3.",
+    "dsgps_k70": "Round-5 config-grid run (VERDICT r4 #8), bounded to 120 "
+                 "epochs this round.  Reference endpoint val Res 2.18e-3 "
+                 "at ep399 (4.51e-3 at the matched ep99).",
+}
+TITLES = {"dsgps_k70": "dsgps k=70 gamma=1.0"}
 RUNS = {
-    "psignn": dict(
-        ours="results/psignn_dirichlet/logs/train_metrics.csv",
-        ref=f"{REF}/dirichlet/psignn/results/constant_dataset/logs/train_metrics.csv",
-        doc="docs/curves_psignn.md", title="psignn",
-        note="Reference: 700-epoch protocol, endpoint val Res 2.90e-3."),
-    "dsgps": dict(
-        ours="results/dsgps_dirichlet/logs/train_metrics.csv",
-        ref=f"{REF}/dirichlet/dsgps/results/constant_dataset/30_ite_gamma_0_9/logs/train_metrics.csv",
-        doc="docs/curves_dsgps.md", title="dsgps",
-        note="Reference: 400-epoch protocol, endpoint val Res 1.65e-3."),
-    "dss": dict(
-        ours="results/dss_dirichlet/logs/train_metrics.csv",
-        ref=f"{REF}/dirichlet/dss/results/dss_results/logs/train_metrics.csv",
-        doc="docs/curves_dss.md", title="dss",
-        note="Reference: 400-epoch protocol."),
-    "dsgps_mixed": dict(
-        ours="results/dsgps_mixed/logs/train_metrics.csv",
-        ref=f"{REF}/mixed/dsgps/results/30_ite_lamb_0_gamma_0_9/logs/train_metrics.csv",
-        doc="docs/curves_dsgps_mixed.md", title="dsgps_mixed",
-        note="Round-5 freeze-semantics run (docs/dsgps_dynamics.md); the "
-             "archived detach arm is results/dsgps_mixed_detach_arm.  "
-             "Reference endpoint val Res 2.79e-3 at ep399."),
-    "psignn_mixed": dict(
-        ours="results/psignn_mixed/logs/train_metrics.csv",
-        ref=f"{REF}/mixed/psignn/results/best_model/logs/train_metrics.csv",
-        doc="docs/curves_psignn_mixed.md", title="psignn_mixed",
-        note="Round-5 from-scratch run — the family's first training in "
-             "this framework.  Reference: 400 epochs, endpoint val Res "
-             "3.17e-3."),
-    "dsgps_k70": dict(
-        ours="results/dsgps_k70_g1/logs/train_metrics.csv",
-        ref=f"{REF}/dirichlet/dsgps/results/constant_dataset/70_ite_gamma_1/logs/train_metrics.csv",
-        doc="docs/curves_dsgps_k70.md", title="dsgps k=70 gamma=1.0",
-        note="Round-5 config-grid run (VERDICT r4 #8), bounded to 120 "
-             "epochs this round.  Reference endpoint val Res 2.18e-3 at "
-             "ep399 (4.51e-3 at the matched ep99)."),
+    name: dict(ours=OUR_CURVES[name], ref=REF_CURVES[name],
+               doc=f"docs/curves_{name}.md",
+               title=TITLES.get(name, name), note=NOTES.get(name, ""))
+    for name in OUR_CURVES
 }
 
 MARK_EPOCHS = [0, 1, 5, 10, 25, 50, 100, 150, 200, 300, 399, 500, 699]
@@ -79,15 +65,24 @@ def table(run):
     _, m_r = parse_val_curve(run["ref"], "MSE")
     if not len(e_o):
         return None
+
+    def at(eps, vals, ep):
+        """Value at the LAST epoch <= ep (epochs are deduped+sorted; a
+        restarted run's log is not positional — advisor r5 finding)."""
+        i = int(np.searchsorted(eps, ep, side="right")) - 1
+        i = max(i, 0)
+        return eps[i], vals[i]
+
     rows = []
     for ep in MARK_EPOCHS:
-        if ep >= len(e_r) and ep >= len(e_o):
+        if ep > e_r[-1] and ep > e_o[-1]:
             continue
-        i_r = min(ep, len(e_r) - 1)
-        i_o = min(ep, len(e_o) - 1)
-        ratio = r_o[i_o] / r_r[i_r] if r_r[i_r] else float("nan")
-        rows.append((e_r[i_r], e_o[i_o], r_o[i_o], r_r[i_r], ratio,
-                     m_o[i_o], m_r[i_r]))
+        er, rr = at(e_r, r_r, ep)
+        eo, ro = at(e_o, r_o, ep)
+        _, mo = at(e_o, m_o, ep)
+        _, mr = at(e_r, m_r, ep)
+        ratio = ro / rr if rr else float("nan")
+        rows.append((er, eo, ro, rr, ratio, mo, mr))
     best_i = int(np.argmin(r_o))
     lines = [f"# Training-curve parity — {run['title']}", ""]
     if run.get("note"):

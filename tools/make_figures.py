@@ -44,7 +44,6 @@ def psignn_figures(out, ckpt="results/psignn_dirichlet/ckpt/best_model.ckpt",
     g = batch_graphs([s])
     outp = psignn_iterative_inference(params, g, cfg)
     n = s["x"].shape[0]
-    T = int(outp["trace_len"]) if "trace_len" in outp else None
     nstep = int(outp["nstep"])
     u_trace = np.asarray(outp["trace"]["u"])[:nstep, :n]
     res_trace = np.asarray(outp["trace"]["res"])[:nstep]
@@ -94,21 +93,7 @@ def dsgps_figures(out, ckpt="results/dsgps_dirichlet/ckpt/best_model.ckpt",
     print(tag, "figures done (final res", float(res[-1]), ")")
 
 
-REF = "/root/reference"
-REF_CURVES = {
-    "psignn": f"{REF}/dirichlet/psignn/results/constant_dataset/logs/train_metrics.csv",
-    "dsgps": f"{REF}/dirichlet/dsgps/results/constant_dataset/30_ite_gamma_0_9/logs/train_metrics.csv",
-    "dss": f"{REF}/dirichlet/dss/results/dss_results/logs/train_metrics.csv",
-    "psignn_mixed": f"{REF}/mixed/psignn/results/best_model/logs/train_metrics.csv",
-    "dsgps_mixed": f"{REF}/mixed/dsgps/results/30_ite_lamb_0_gamma_0_9/logs/train_metrics.csv",
-}
-OUR_CURVES = {
-    "psignn": "results/psignn_dirichlet/logs/train_metrics.csv",
-    "dsgps": "results/dsgps_dirichlet/logs/train_metrics.csv",
-    "dss": "results/dss_dirichlet/logs/train_metrics.csv",
-    "psignn_mixed": "results/psignn_mixed/logs/train_metrics.csv",
-    "dsgps_mixed": "results/dsgps_mixed/logs/train_metrics.csv",
-}
+from psignn_tpu.eval.registry import OUR_CURVES, REF_CURVES  # noqa: E402
 
 
 def comparison_figures(out):
